@@ -1,0 +1,70 @@
+"""Central query registry — merges every operator module's QUERIES/ORACLE
+into the driver contract surface (``__spark_entry__.py``).
+
+Each module contributes ``QUERIES: dict[str, (spark, sf_dir) -> DataFrame]``
+and ``ORACLE: dict[str, str]`` (DuckDB-runnable ANSI SQL twins). Keys missing
+from ORACLE get the driver's weaker rows-only check (reserved for genuinely
+non-SQL-expressible ops: approximate sketches, randomized LSH, streaming
+state machines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from importlib import import_module
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (
+    "flink_streaming_gnn_spark.operators.relational",
+    "flink_streaming_gnn_spark.operators.joins",
+    "flink_streaming_gnn_spark.operators.aggregates",
+    "flink_streaming_gnn_spark.operators.windows",
+    "flink_streaming_gnn_spark.operators.sorts",
+    "flink_streaming_gnn_spark.operators.setops",
+    "flink_streaming_gnn_spark.functions.strings",
+    "flink_streaming_gnn_spark.functions.dates",
+    "flink_streaming_gnn_spark.functions.mathfns",
+    "flink_streaming_gnn_spark.functions.arrays",
+    "flink_streaming_gnn_spark.functions.maps",
+    "flink_streaming_gnn_spark.functions.jsonfns",
+    "flink_streaming_gnn_spark.functions.udfs",
+    "flink_streaming_gnn_spark.graph.ops",
+    "flink_streaming_gnn_spark.graph.sage",
+    "flink_streaming_gnn_spark.streaming.windows",
+    "flink_streaming_gnn_spark.llm.dedup",
+    "flink_streaming_gnn_spark.llm.simsearch",
+    "flink_streaming_gnn_spark.llm.textstats",
+    "flink_streaming_gnn_spark.llm.multimodal",
+)
+
+
+def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    queries: dict[str, QueryFn] = {}
+    oracle: dict[str, str] = {}
+    for mod_name in _MODULES:
+        try:
+            mod = import_module(mod_name)
+        except ModuleNotFoundError:
+            continue  # module not built yet (incremental rounds)
+        q = getattr(mod, "QUERIES", {})
+        o = getattr(mod, "ORACLE", {})
+        dup = set(q) & set(queries)
+        if dup:
+            raise ValueError(f"duplicate query keys from {mod_name}: {sorted(dup)}")
+        queries.update(q)
+        oracle.update(o)
+    unknown = set(oracle) - set(queries)
+    if unknown:
+        raise ValueError(f"oracle entries without queries: {sorted(unknown)}")
+    return queries, oracle
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _collect()[0]
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return _collect()[1]

@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's physical configuration.
+
+SURVEY.md §4.3: AQE on, Arrow on, UTC session timezone (so timestamps agree
+with the UTC-naive DuckDB oracle), shuffle partitions sized to cores instead
+of the 200 default. At cluster scale the same builder is used with
+``master`` unset (picked up from spark-submit) and shuffle partitions sized
+to input volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "flink_streaming_gnn_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    local[N] for tests/bench; on a real cluster the ``master`` line is a
+    no-op override via spark-submit. Every config here survives a 1000-
+    executor deployment: AQE handles skew/coalescing at runtime, Arrow
+    keeps the Python boundary vectorized, UTC keeps event-time math stable.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # ANSI mode off: engine follows classic Spark SQL null-on-error
+        # semantics, matching the permissive oracle comparisons.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{n}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

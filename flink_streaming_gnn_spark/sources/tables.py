@@ -1,0 +1,69 @@
+"""Batch parquet sources for the test corpus (TESTDATA.md / FIXTURES.md).
+
+Reference analogue: the dataset loader operators (SURVEY.md §2A A1) that
+read edge/event streams into the dataflow. Spark-first: ``spark.read
+.parquet`` gives a columnar scan with predicate pushdown and column
+pruning for free; no custom reader code is needed or wanted.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table as a lazily-scanned DataFrame.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as a long (legacy conf) and
+    rebuild a microsecond TimestampType column (truncation, matching how
+    µs-native engines read ns parquet). Everything else is a plain scan
+    with pushdown/pruning intact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every corpus table as a lazily-scanned DataFrame.
+
+    Scans are lazy: Catalyst prunes columns and pushes filters into the
+    parquet reader per-query, so loading "all tables" costs nothing until
+    an action touches them.
+    """
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for the SQL entry point."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
