@@ -1,0 +1,57 @@
+"""Math function family (SURVEY.md §2B fn_math).
+
+Transcendentals (ln/exp/sqrt/pow) are rounded to 6 decimals in both engines
+to absorb any libm last-bit differences; pure arithmetic stays raw (IEEE
+identical). ceil/floor cast to DOUBLE on both sides (Spark yields LONG,
+DuckDB DOUBLE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_round0"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.ceil("l_quantity").cast("double").alias("qty_ceil"),
+        F.floor("l_tax" ).cast("double").alias("tax_floor"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).alias("rate_sign"),
+    )
+
+
+QUERIES = {"fn_math": fn_math}
+
+ORACLE = {
+    "fn_math": """
+        SELECT l_orderkey,
+               l_linenumber,
+               round(l_extendedprice, 0) AS price_round0,
+               abs(l_discount - 0.05) AS disc_dev,
+               round(ln(l_extendedprice), 6) AS ln_price,
+               round(exp(l_discount), 6) AS exp_disc,
+               round(pow(l_quantity, 2), 6) AS qty_sq,
+               round(sqrt(l_extendedprice), 6) AS sqrt_price,
+               CAST(ceil(l_quantity) AS DOUBLE) AS qty_ceil,
+               CAST(floor(l_tax) AS DOUBLE) AS tax_floor,
+               CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+               greatest(l_discount, l_tax) AS max_rate,
+               least(l_discount, l_tax) AS min_rate,
+               CAST(sign(l_discount - l_tax) AS DOUBLE) AS rate_sign
+        FROM lineitem
+    """,
+}
