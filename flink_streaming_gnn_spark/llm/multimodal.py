@@ -1,0 +1,123 @@
+"""Multimodal column handling (north_star "multimodal columns").
+
+Pattern: media (image/audio/video) lives as an opaque ``binary`` column +
+a typed metadata struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` over partition-sized batches. The decode libraries are not
+in this container (SURVEY.md §7 hard-parts #6), so the decoder is a
+deterministic fake behind a try-import — but the Spark-side plumbing
+(schema, binary payloads, batch iteration, partitioning) is real and
+oracle/test-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.functions.arrays import dot_expr
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + vector + metadata in one relation: documents ⋈ embeddings on
+    doc_id = vec_id, with a derived vector norm (FIXTURES.md multimodal
+    fixture)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("label").cast("long").alias("label"),
+        F.round(F.sqrt(F.expr(dot_expr("embedding", "embedding"))), 4).alias("emb_norm"),
+    )
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata, end to end JVM-side:
+    utf-8 encode the text as the stand-in media blob, carry byte length
+    and an md5 content address — the schema shape a real image/audio
+    column uses (payload bytes + content hash + size)."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("byte_len"),
+        F.md5(blob).alias("content_md5"),
+        F.substring("text", 1, 16).alias("head"),
+    )
+
+
+# deterministic fake "decode": real decoders are not installed in this image
+try:  # pragma: no cover - the real path needs PIL/av/librosa
+    import PIL.Image  # noqa: F401
+
+    _HAS_DECODER = True
+except ImportError:
+    _HAS_DECODER = False
+
+
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode / feature-extract plumbing over ``mapInPandas``:
+    binary in → (doc_id, width, height, n_frames, mean_luma) out.
+
+    The batch shape, schema contract and partitioning are production-real;
+    only the innermost decode call is faked (first bytes of the blob drive
+    deterministic pseudo-dimensions). With PIL/av installed the fake body
+    is replaced by the real decoder — the operator and plan don't change.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAS_DECODER:
+                raise NotImplementedError(
+                    "real decoder path not exercised in this container"
+                )
+            blobs = pdf["media"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": blobs.map(lambda b: 64 + b[0] % 64),
+                    "height": blobs.map(lambda b: 64 + b[1] % 64),
+                    "n_frames": blobs.map(lambda b: 1 + b[2] % 8),
+                    "mean_luma": blobs.map(lambda b: round(sum(b[:16]) / 16.0, 2)),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id long, width long, height long, n_frames long, mean_luma double",
+    )
+
+
+QUERIES = {
+    "multimodal_cols": multimodal_cols,
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_decode_stub": multimodal_decode_stub,
+}
+
+ORACLE = {
+    "multimodal_cols": """
+        SELECT doc_id, lang, source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(label AS BIGINT) AS label,
+               round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 4) AS emb_norm
+        FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+    "multimodal_binary_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS content_md5,
+               substr(text, 1, 16) AS head
+        FROM documents
+    """,
+    # multimodal_decode_stub: rows-only (decoder faked; plumbing pinned in tests)
+}

@@ -1,0 +1,248 @@
+"""Text analysis operators over ``documents`` (north_star "text analysis"):
+corpus stats, TF-IDF, heuristic language-ID, quality scoring, token
+counting, content fingerprinting. All JVM-side (split/explode/regex/md5);
+no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (BASELINE ``text_tokenize_tf`` shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(words).cast("long").alias("total_words"),
+        F.round(F.avg(words), 4).alias("avg_words"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF, fully relational: explode tokens → tf per (doc,
+    token) → df per token → idf = ln(N/df). Two shuffles (both on token /
+    doc keys); the idf side is a small dim joined broadcast-style. Output
+    bounded to tf ≥ 3 terms to keep the comparison set stable."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()  # tiny scalar, computed once driver-side
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification: token→lang affinity learned from
+    the corpus itself (freq(token, lang) / freq(token)), per-doc score =
+    Σ affinities, predict argmax. Scores are rounded to 6 dp *before* the
+    argmax in both engines so cross-engine float drift cannot flip a
+    prediction; ties break on lang ascending."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tokens = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    tok_lang = tokens.groupBy("token", "lang").agg(F.count("*").alias("c_tl"))
+    tok_all = tok_lang.groupBy("token").agg(F.sum("c_tl").alias("c_t"))
+    affinity = tok_lang.join(tok_all, "token").select(
+        "token", F.col("lang").alias("cand_lang"), (F.col("c_tl") / F.col("c_t")).alias("aff")
+    )
+    scores = (
+        tokens.join(affinity, "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.round(F.sum("aff"), 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    pred = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("cand_lang").alias("pred_lang"),
+            "score",
+            (F.col("cand_lang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, mean word length, digit ratio, distinct
+    token ratio — combined into one score. All computed from the same
+    projected scan; ratios use deterministic integer inputs so only the
+    final composite is rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    digit_chars = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+    mean_wlen = (F.col("n_chars").cast("double") - (n_words - 1)) / n_words
+    score = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + (n_distinct / n_words) * 0.4
+        + (1.0 - digit_chars / F.col("n_chars")) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(n_distinct / n_words, 4).alias("distinct_ratio"),
+        digit_chars.cast("long").alias("n_digit_chars"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer ([a-z]+ | digits | other-symbol) — the standard pre-tokenizer
+    shape, counted JVM-side with regexp_extract_all."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        (F.col("n_chars") / F.size(F.split("text", " "))).alias("chars_per_token"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact-dup key) plus a
+    winnowing-lite shingle fingerprint (min md5 over token 5-grams —
+    stable under small edits outside the minimal shingle)."""
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    shingle = (
+        "transform(sequence(1, greatest(size(toks) - 4, 0)),"
+        " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+        " element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4)))"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("md5_full"),
+        F.array_min(F.expr(f"transform({shingle}, s -> md5(s))")).alias("winnow_min"),
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_tokenize_tf": text_stats,  # BASELINE.md headline name
+    "text_tfidf": text_tfidf,
+    "text_lang_id": text_lang_id,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
+
+_STATS_SQL = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+"""
+
+ORACLE = {
+    "text_stats": _STATS_SQL,
+    "text_tokenize_tf": _STATS_SQL,
+    "text_tfidf": """
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+        )
+        SELECT tf.doc_id, tf.token,
+               CAST(tf.tf AS BIGINT) AS tf,
+               round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token
+        WHERE tf.tf >= 3
+    """,
+    "text_lang_id": """
+        WITH tokens AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        tok_lang AS (
+            SELECT token, lang AS cand_lang, count(*) AS c_tl
+            FROM tokens GROUP BY token, lang
+        ),
+        tok_all AS (
+            SELECT token, sum(c_tl) AS c_t FROM tok_lang GROUP BY token
+        ),
+        affinity AS (
+            SELECT tl.token, tl.cand_lang, tl.c_tl * 1.0 / ta.c_t AS aff
+            FROM tok_lang tl JOIN tok_all ta ON tl.token = ta.token
+        ),
+        scores AS (
+            SELECT t.doc_id, a.cand_lang, round(sum(a.aff), 6) AS score
+            FROM tokens t JOIN affinity a ON t.token = a.token
+            GROUP BY t.doc_id, a.cand_lang
+        ),
+        ranked AS (
+            SELECT doc_id, cand_lang, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand_lang) AS rn
+            FROM scores
+        )
+        SELECT r.doc_id, r.cand_lang AS pred_lang, r.score,
+               r.cand_lang = d.lang AS correct
+        FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+        WHERE r.rn = 1
+    """,
+    "text_quality_score": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               round((n_chars * 1.0 - (len(string_split(text, ' ')) - 1))
+                     / len(string_split(text, ' ')), 4) AS mean_word_len,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS distinct_ratio,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+                   AS n_digit_chars,
+               round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+                     + (len(list_distinct(string_split(text, ' '))) * 1.0
+                        / len(string_split(text, ' '))) * 0.4
+                     + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                        / n_chars) * 0.2, 4) AS quality
+        FROM documents
+    """,
+    "text_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                    AS BIGINT) AS bpe_ish_tokens,
+               n_chars * 1.0 / len(string_split(text, ' ')) AS chars_per_token
+        FROM documents
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(lower(trim(text))) AS md5_full,
+               list_min(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+                   i -> md5(string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2] || ' ' ||
+                            string_split(text, ' ')[i + 3] || ' ' ||
+                            string_split(text, ' ')[i + 4]))) AS winnow_min
+        FROM documents
+    """,
+}

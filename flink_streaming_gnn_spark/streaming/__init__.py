@@ -1,0 +1,13 @@
+"""Structured Streaming surface — the reference's raison d'être
+(SURVEY.md §2A A1/A6/A8/A16: event-time windows, watermarks, incremental
+keyed aggregation on an unbounded stream).
+
+Design split:
+- ``windows.py`` — event-time window *semantics* (tumbling / sliding /
+  session / dedup / stream-static join) as batch DataFrames with DuckDB
+  twins; identical plans run unchanged under ``readStream``.
+- ``replay.py`` — deterministic file-stream replay (Trigger.AvailableNow)
+  used by the batch≡stream property tests (SURVEY.md §5.2#3).
+- ``stateful.py`` — arbitrary keyed state: the reference's incremental
+  MeanAggregator (A6) with running {sum, count} per vertex.
+"""

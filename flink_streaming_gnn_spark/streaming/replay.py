@@ -1,0 +1,103 @@
+"""Deterministic stream replay of the ``events`` fixture (SURVEY.md §5.2#3).
+
+Reference analogue: the bounded-rate edge/event stream sources (§2A A1).
+Spark-first: a file stream over the same parquet + ``Trigger.AvailableNow``
+gives an exactly-replayable unbounded-source simulation — every micro-batch
+boundary is deterministic, so streamed results can be asserted equal to the
+batch twin on the same fixture (the test the reference never had).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+# events schema as stored (ts = TIMESTAMP(NANOS) read as long; see tables.py)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded-source view of the events fixture.
+
+    Re-chunks the single fixture parquet into several files first so the
+    file source produces multiple micro-batches (real incremental state
+    updates, not one giant batch).
+    """
+    import hashlib
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across processes
+    chunk_dir = os.path.join(tempfile.gettempdir(), f"events_chunks_{digest}")
+    if not os.path.isdir(chunk_dir) or not os.listdir(chunk_dir):
+        load_table(spark, sf_dir, "events").repartition(8, "event_id").write.mode(
+            "overwrite"
+        ).parquet(chunk_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    # chunks were rewritten by Spark (µs timestamps) so a plain schema works
+    return reader.parquet(chunk_dir)
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into a memory
+    sink, block until drained, return the materialized result as a batch DF.
+    Output mode 'complete' (windowed aggregations)."""
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Same, for append-mode streams (dedup, watermark-closed windows)."""
+    return _run_mode(stream_df, query_name, "append")
+
+
+def run_update_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Same, for update-mode streams (stateful operators emitting per-key
+    updates each micro-batch). The memory sink keeps every emitted row, so
+    a key's *last* row is its final state."""
+    return _run_mode(stream_df, query_name, "update")
+
+
+def _run_mode(stream_df: DataFrame, query_name: str, mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

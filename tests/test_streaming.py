@@ -1,0 +1,121 @@
+"""Batch≡stream property tests (SURVEY.md §5.2#3): replay the events
+fixture as a real multi-micro-batch file stream and assert the streamed
+result equals the batch twin on the same data — the correctness property
+the reference system never had an automated test for.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+from flink_streaming_gnn_spark.streaming.replay import (
+    events_stream,
+    run_append_to_completion,
+    run_to_completion,
+    run_update_to_completion,
+)
+from flink_streaming_gnn_spark.streaming.stateful import incremental_mean
+from tests.conftest import SF_SMOKE
+from tests.oracle_compare import compare_frames
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream = events_stream(spark, SF_SMOKE, files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )
+    streamed = run_to_completion(agg, "tumbling_stream").toPandas()
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n",
+            "v",
+        )
+        .toPandas()
+    )
+    assert not compare_frames(streamed, batch, "tumbling batch≡stream")
+
+
+def test_stream_dedup_within_watermark(spark):
+    stream = events_stream(spark, SF_SMOKE, files_per_trigger=2)
+    dedup = (
+        stream.withWatermark("ts", "2 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    streamed = run_append_to_completion(dedup, "dedup_stream").toPandas()
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates()
+        .toPandas()
+    )
+    # watermark-scoped dedup can keep a duplicate whose twin expired, never fewer
+    assert len(streamed) >= len(batch)
+    assert (
+        streamed.drop_duplicates().shape[0] == batch.drop_duplicates().shape[0]
+    ), "distinct key sets must agree"
+
+
+def test_incremental_mean_equals_batch(spark):
+    """The reference's A6 aggregator: streamed running mean (final state
+    after the last micro-batch) == batch groupBy mean."""
+    stream = events_stream(spark, SF_SMOKE, files_per_trigger=2).select(
+        F.col("user_id").alias("key"), F.col("value")
+    )
+    result = incremental_mean(stream, "key", "value")
+    streamed = run_update_to_completion(result, "incmean_stream").toPandas()
+    # keep only each key's final (last emitted) state
+    final = (
+        streamed.groupby("key").last().reset_index()[["key", "running_count", "running_mean"]]
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").cast("long").alias("running_count"), F.avg("value").alias("running_mean"))
+        .toPandas()
+    )
+    merged = final.merge(batch, on="key", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged.running_count_s == merged.running_count_b).all()
+    assert (abs(merged.running_mean_s - merged.running_mean_b) < 1e-9).all()
+
+
+def test_incremental_mean_retraction(spark):
+    """A6 ``replace``: an update row (delta_old set) retracts the old value."""
+    pdf = pd.DataFrame(
+        {
+            "key": [1, 1, 1, 2],
+            "value": [10.0, 20.0, 40.0, 5.0],
+            "delta_old": [None, None, 20.0, None],  # third row replaces the 20
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema("key long, value double, delta_old double").parquet(d)
+        result = incremental_mean(stream, "key", "value")
+        out = run_update_to_completion(result, "incmean_retract").toPandas()
+    final = out.groupby("key").last().reset_index()
+    k1 = final[final.key == 1].iloc[0]
+    # key 1: 10 + 20 + (40 replacing 20) -> sum 50, count 2, mean 25
+    assert k1.running_sum == 50.0 and k1.running_count == 2 and k1.running_mean == 25.0
+    k2 = final[final.key == 2].iloc[0]
+    assert k2.running_sum == 5.0 and k2.running_count == 1
