@@ -1,0 +1,102 @@
+"""Invariant tests for the rows-only graph operators: HDRF partitioner
+(reference A4), training loop (A10/A13/A14) and observability (A15) —
+the properties a SQL oracle can't check."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.graph.edges import derive_edges
+from flink_streaming_gnn_spark.graph.hdrf import (
+    N_PARTS,
+    graph_hdrf_partition,
+    hdrf_assign_edges,
+    make_hdrf_core,
+    replication_factor,
+)
+from flink_streaming_gnn_spark.graph.train import (
+    graph_train_epochs,
+    graph_train_readout,
+    train_test_split,
+)
+from flink_streaming_gnn_spark.operators.metrics import run_with_metrics
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestHdrfCore:
+    def test_star_graph_lambda_tradeoff(self):
+        # λ=1 (replication-first): a pure star is optimally un-replicated
+        # by keeping every edge with the hub. λ=2 (balance-weighted): the
+        # hub — the high-degree vertex — is the one that gets replicated,
+        # and edges spread evenly. This is exactly HDRF's dial.
+        edges = pd.DataFrame({"src": [0] * 40, "dst": list(range(1, 41))})
+        rep_first = make_hdrf_core(n_parts=4, lam=1.0)(edges)
+        assert rep_first["part_id"].nunique() == 1
+        balanced = make_hdrf_core(n_parts=4, lam=2.0)(edges)
+        per_part = balanced.groupby("part_id").size()
+        assert len(per_part) == 4
+        assert per_part.max() - per_part.min() <= 2
+
+    def test_deterministic(self):
+        core = make_hdrf_core(n_parts=4, lam=1.0)
+        edges = pd.DataFrame({"src": [1, 2, 3, 1, 2], "dst": [2, 3, 1, 3, 1]})
+        a = core(edges.copy())
+        b = core(edges.copy())
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestHdrfOnFixture:
+    def test_edge_conservation_and_summary(self, spark):
+        n_edges = derive_edges(spark, SF).count()
+        summary = graph_hdrf_partition(spark, SF).toPandas()
+        assert summary["n_edges"].sum() == n_edges
+        assert summary["part_id"].between(0, N_PARTS - 1).all()
+
+    def test_beats_hash_partitioning_on_replication(self, spark):
+        assigned = hdrf_assign_edges(spark, SF).persist()
+        hdrf_rf = replication_factor(assigned)
+        hashed = assigned.select(
+            "src", "dst", F.pmod("dst", F.lit(N_PARTS)).cast("int").alias("part_id")
+        )
+        hash_rf = replication_factor(hashed)
+        assigned.unpersist()
+        # the entire point of HDRF: strictly fewer replicas than hash-by-dst
+        assert hdrf_rf < hash_rf
+
+
+class TestTraining:
+    def test_split_is_deterministic_80_20(self, spark):
+        s = train_test_split(spark, SF).toPandas()
+        frac = (s["split"] == "train").mean()
+        assert 0.7 < frac < 0.9
+        # pure function of vec_id: re-run identical
+        s2 = train_test_split(spark, SF).toPandas()
+        pd.testing.assert_frame_equal(
+            s.sort_values("vec_id").reset_index(drop=True),
+            s2.sort_values("vec_id").reset_index(drop=True),
+        )
+
+    def test_epoch_losses_decrease(self, spark):
+        losses = graph_train_epochs(spark, SF).toPandas().sort_values("epoch")
+        assert len(losses) == 5
+        assert losses["mean_loss"].iloc[-1] < losses["mean_loss"].iloc[0]
+
+    def test_readout_covers_classes_and_counts(self, spark):
+        out = graph_train_readout(spark, SF).toPandas()
+        split = train_test_split(spark, SF).toPandas()
+        # readout only sees vertices that have in-neighbors; bound by test size
+        assert 0 < out["n_test"].sum() <= (split["split"] == "test").sum()
+        assert (out["n_correct"] <= out["n_test"]).all()
+
+
+class TestMetrics:
+    def test_observe_counts_match(self, spark):
+        df = derive_edges(spark, SF)
+        got = run_with_metrics(
+            df, F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("w"), 2).alias("sum_w")
+        )
+        assert got["n_rows"] == df.count()
+        assert got["rows_per_sec"] > 0
+        assert abs(got["sum_w"] - df.agg(F.round(F.sum("w"), 2)).first()[0]) < 0.01

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Physical-plan audit — the 100 TB sanity gate (SURVEY.md §4).
+
+For each headline query, inspect the formatted physical plan and assert the
+scale-critical properties Catalyst should be delivering:
+
+- parquet scans carry PushedFilters / pruned ReadSchema where expected;
+- small dimensions join via BroadcastHashJoin (no shuffle of the big side);
+- plans run inside WholeStageCodegen spans;
+- no CartesianProduct / BroadcastNestedLoopJoin outside the queries that
+  are deliberately theta-joins over bounded candidate sets.
+
+Run: python tools/explain_audit.py [sf_dir]   (default /root/testdata/sf0.1)
+Exit 1 if any expectation fails — wire into CI next to pytest.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import re
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_streaming_gnn_spark import registry  # noqa: E402
+from flink_streaming_gnn_spark.session import get_spark  # noqa: E402
+
+# query -> (must_contain regexes, must_not_contain regexes)
+EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
+    "agg_pricing_summary": (
+        # pushed scan filter + map-side partial aggregation before the one
+        # exchange (AQE's unexecuted formatted plan omits codegen spans, so
+        # partial_sum is the checkable marker of map-side combine)
+        [r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", r"partial_sum", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
+    "join_3way_revenue": (
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "join_multiway_star": (
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "scan_projection_pushdown": (
+        [r"ReadSchema: struct<l_orderkey:bigint,l_quantity"],
+        [r"l_comment"],  # pruned column must not be read
+    ),
+    "window_topk_per_group": ([r"WindowGroupLimit"], [r"CartesianProduct"]),
+    "graph_2hop_neighbor_agg": (
+        # customer dim broadcast; the dst-join is a shuffled hash/merge join
+        # BY DESIGN (per-vertex aggregate is unbounded at scale — never
+        # broadcast it); pre-aggregation shows as partial_sum before it
+        [r"HashAggregate", r"BroadcastHashJoin", r"partial_sum"],
+        [r"CartesianProduct"],
+    ),
+    "semi_anti": ([r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin"], []),
+    "dedup_exact": ([r"HashAggregate"], [r"Exchange hashpartitioning\(text"]),
+    "tumbling_window_events": ([r"HashAggregate"], [r"CartesianProduct"]),
+    "sessionize_approx": ([], [r"CartesianProduct"]),
+    # deliberately-bounded theta joins: broadcast the tiny probe side, never
+    # a shuffled cartesian of the full collection.
+    "vector_knn_cosine": ([r"BroadcastNestedLoopJoin"], [r"CartesianProduct"]),
+    "graph_1hop_agg": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    "graph_sage_layer": ([r"ArrowEvalPython|FlatMapsInPandas|BatchEvalPython"], [r"CartesianProduct"]),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("explain_audit")
+    queries = registry.all_queries()
+    failures: list[str] = []
+    for name, (must, must_not) in EXPECTATIONS.items():
+        df = queries[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        for pat in must:
+            if not re.search(pat, plan):
+                failures.append(f"{name}: MISSING /{pat}/")
+        for pat in must_not:
+            if re.search(pat, plan):
+                failures.append(f"{name}: FORBIDDEN /{pat}/ present")
+        status = "ok" if not any(f.startswith(name + ":") for f in failures) else "FAIL"
+        print(f"{name:28s} {status}")
+    if failures:
+        print("\n".join(["", *failures]))
+        sys.exit(1)
+    print(f"\nall {len(EXPECTATIONS)} plans match scale expectations")
+
+
+if __name__ == "__main__":
+    main()
