@@ -125,8 +125,23 @@ def agg_incremental_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per return flag — both
+    engines use the same linear-interpolation definition, so this is fully
+    hash-checkable (approx sketches stay under agg_approx_distinct's
+    rows-only regime). At scale the exact form is a sort-based aggregate;
+    the approximate production path is percentile_approx (t-digest)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
+    "agg_percentile": agg_percentile,
     "agg_hash_group": agg_hash_group,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -136,6 +151,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_percentile": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,78 @@
+"""Skew-mitigation operators (SURVEY.md §4.3 100 TB posture: "skewed keys →
+salting or AQE skew-join").
+
+AQE's skew-join splitting handles *joins* at runtime; aggregation skew on
+low-cardinality hot keys (a 3-value group-by over 100 TB puts a third of
+the data through one reducer) needs the classic two-stage salted rewrite:
+
+    groupBy(key, salt) partial  →  groupBy(key) final
+
+Salting is result-preserving for algebraic aggregates, so the operator is
+fully oracle-checkable — the DuckDB twin is the plain single-stage GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+N_SALTS = 16
+
+
+def salted(df: DataFrame, salt_source: str, n_salts: int = N_SALTS) -> DataFrame:
+    """Attach a deterministic salt column derived from a high-cardinality
+    source column (not rand(): replayable plans beat nondeterminism)."""
+    return df.withColumn("_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts)))
+
+
+def salted_sum(df: DataFrame, key: str, salt_source: str, exprs: dict[str, Column]) -> DataFrame:
+    """Two-stage skew-safe aggregation: partial per (key, salt) — fanning a
+    hot key across n_salts reducers — then final per key. ``exprs`` maps
+    output name → commutative partial expression (sum/count terms)."""
+    partial = (
+        salted(df, salt_source)
+        .groupBy(key, "_salt")
+        .agg(*[e.alias(name) for name, e in exprs.items()])
+    )
+    return partial.groupBy(key).agg(
+        *[F.sum(name).alias(name) for name in exprs]
+    )
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing roll-up by l_returnflag — 3 hot keys over the whole fact
+    table, the textbook aggregation-skew shape — via the salted two-stage
+    plan. Values identical to the direct GROUP BY (the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_sum(
+        li,
+        "l_returnflag",
+        "l_orderkey",
+        {
+            "sum_qty": F.sum("l_quantity"),
+            "sum_price": F.sum("l_extendedprice"),
+            "n_rows": F.count("*").cast("long"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+QUERIES = {"agg_salted_skew": agg_salted_skew}
+
+ORACLE = {
+    "agg_salted_skew": """
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+}

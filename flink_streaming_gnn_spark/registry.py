@@ -25,6 +25,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.sorts",
     "flink_streaming_gnn_spark.operators.setops",
     "flink_streaming_gnn_spark.operators.sinks",
+    "flink_streaming_gnn_spark.operators.skew",
     "flink_streaming_gnn_spark.functions.strings",
     "flink_streaming_gnn_spark.functions.dates",
     "flink_streaming_gnn_spark.functions.mathfns",
@@ -35,6 +36,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.ops",
     "flink_streaming_gnn_spark.graph.sage",
     "flink_streaming_gnn_spark.graph.hdrf",
+    "flink_streaming_gnn_spark.graph.graphop",
     "flink_streaming_gnn_spark.graph.train",
     "flink_streaming_gnn_spark.streaming.windows",
     "flink_streaming_gnn_spark.llm.dedup",

@@ -59,3 +59,46 @@ def incremental_mean(stream_df: DataFrame, key_col: str, value_col: str) -> Data
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def latest_state(stream_df: DataFrame, key_col: str, seq_col: str) -> DataFrame:
+    """Streaming last-writer-wins GraphOp materialization (the stateful twin
+    of graph/graphop.py ``graphop_materialize``): per key, keep the row
+    with the highest ``seq_col`` seen so far — including REMOVE ops, so the
+    consumer filters dead keys exactly like the batch window does.
+
+    State per key is one (seq, op, value) triple — constant size, no log
+    retention; the micro-batch pre-reduces before touching the state store.
+    Emits the current winner per key per micro-batch (update mode).
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        best_seq, best_op, best_val = (
+            state.get if state.exists else (-1, None, None)
+        )
+        for pdf in pdf_iter:
+            idx = pdf[seq_col].idxmax()  # pre-reduce the batch first
+            row = pdf.loc[idx]
+            if int(row[seq_col]) > best_seq:
+                best_seq = int(row[seq_col])
+                best_op = str(row["op"])
+                best_val = float(row["feat_value"])
+        state.update((best_seq, best_op, best_val))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "vertex": [key[0]],
+                "seq": [best_seq],
+                "op": [best_op],
+                "feat_value": [best_val],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="vertex long, seq long, op string, feat_value double",
+        stateStructType="seq long, op string, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
