@@ -39,6 +39,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.graphop",
     "flink_streaming_gnn_spark.graph.train",
     "flink_streaming_gnn_spark.streaming.windows",
+    "flink_streaming_gnn_spark.streaming.gnn",
     "flink_streaming_gnn_spark.llm.dedup",
     "flink_streaming_gnn_spark.llm.simsearch",
     "flink_streaming_gnn_spark.llm.textstats",
