@@ -139,9 +139,26 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): event counts per user_id × event_type as columns.
+    Values enumerated explicitly — at scale an un-enumerated pivot needs a
+    first pass to collect the domain; the oracle twin is the equivalent
+    conditional aggregation (what pivot compiles to anyway)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0)
+        .select("user_id", *[F.col(k).cast("long").alias(f"n_{k}") for k in kinds])
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "agg_percentile": agg_percentile,
+    "agg_pivot": agg_pivot,
     "agg_hash_group": agg_hash_group,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
@@ -151,6 +168,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_pivot": """
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+        FROM events
+        GROUP BY user_id
+    """,
     "agg_percentile": """
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
