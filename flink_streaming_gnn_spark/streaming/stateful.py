@@ -7,6 +7,11 @@ state store, per key, across micro-batches. ``reduce`` = add (+v, +1);
 ``replace`` = add the delta (+new−old, +0) — retraction needs no special
 machinery because the state is a commutative group, which is the same
 observation the reference's aggregator design rests on.
+
+``incremental_mean_tws`` is the same operator on the Spark 4
+``transformWithStateInPandas`` API (typed ValueState, timers, explicit
+processor lifecycle) — the forward path for new stateful operators; both
+are pinned to the same batch twin in tests.
 """
 
 from __future__ import annotations
@@ -58,6 +63,59 @@ def incremental_mean(stream_df: DataFrame, key_col: str, value_col: str) -> Data
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def incremental_mean_tws(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """A6 on the Spark 4 ``transformWithStateInPandas`` API: the running
+    {sum, count} monoid lives in a typed ValueState; each micro-batch folds
+    its rows in and emits the key's current state. Functionally identical
+    to ``incremental_mean`` (same batch twin); this API adds typed state,
+    timers and TTL for operators that need them (session GC, as-of
+    retention).
+
+    NOTE: the TWS Python runner requires ``google.protobuf``, which this
+    container lacks — the operator is import-clean and plan-builds, and its
+    end-to-end test skips when protobuf is unavailable
+    (tests/test_streaming.py). ``incremental_mean`` (applyInPandasWithState)
+    is the fully-exercised production path here."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MeanProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("sc", "s double, c long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                s, c = self._state.get()
+            else:
+                s, c = 0.0, 0
+            for pdf in rows:
+                s += float(pdf[value_col].sum())
+                c += int(len(pdf))
+            self._state.update((s, c))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "running_sum": [s],
+                    "running_count": [c],
+                    "running_mean": [s / c if c else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        MeanProcessor(),
+        outputStructType="key long, running_sum double, running_count long, running_mean double",
+        outputMode="Update",
+        timeMode="None",
     )
 
 

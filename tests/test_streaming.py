@@ -119,3 +119,36 @@ def test_incremental_mean_retraction(spark):
     assert k1.running_sum == 50.0 and k1.running_count == 2 and k1.running_mean == 25.0
     k2 = final[final.key == 2].iloc[0]
     assert k2.running_sum == 5.0 and k2.running_count == 1
+
+
+def test_incremental_mean_tws_equals_batch(spark):
+    """A6 on the Spark 4 transformWithStateInPandas API: same final state
+    as the batch aggregate (and as the applyInPandasWithState variant).
+    The TWS runner needs google.protobuf (absent in this container) —
+    skip rather than fail where the dependency is missing."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState runner cannot start")
+    from flink_streaming_gnn_spark.streaming.stateful import incremental_mean_tws
+
+    stream = events_stream(spark, SF_SMOKE, files_per_trigger=2).select(
+        F.col("user_id").alias("key"), F.col("value")
+    )
+    result = incremental_mean_tws(stream, "key", "value")
+    streamed = run_update_to_completion(result, "incmean_tws_stream").toPandas()
+    final = (
+        streamed.groupby("key").last().reset_index()[["key", "running_count", "running_mean"]]
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").cast("long").alias("running_count"), F.avg("value").alias("running_mean"))
+        .toPandas()
+    )
+    merged = final.merge(batch, on="key", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged.running_count_s == merged.running_count_b).all()
+    assert (abs(merged.running_mean_s - merged.running_mean_b) < 1e-9).all()
