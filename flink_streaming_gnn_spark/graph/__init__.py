@@ -6,4 +6,11 @@ plugins (SURVEY.md §2A A5-A9). The structural insight (SURVEY.md §2A):
 GNN message-passing IS ``edges ⋈ vertices → groupBy(dst) → agg →
 vectorized map``. This package expresses exactly that with DataFrame ops
 and one Arrow-batched numpy UDF for the tensor math.
+
+Modules: ``edges`` (fixture edge derivation), ``ops`` (degree / 1-hop /
+pre-aggregated 2-hop / hash partition assignment), ``sage`` (SAGE layers,
+Arrow-batched numpy forward), ``graphop`` (the GraphOp mutation-log data
+model with last-writer-wins materialization), ``hdrf`` (faithful HDRF
+streaming vertex-cut, A4), ``train`` (A3 splitter + A13 readout + A10/A14
+driver-loop training).
 """

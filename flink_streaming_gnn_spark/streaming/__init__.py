@@ -9,5 +9,11 @@ Design split:
 - ``replay.py`` — deterministic file-stream replay (Trigger.AvailableNow)
   used by the batch≡stream property tests (SURVEY.md §5.2#3).
 - ``stateful.py`` — arbitrary keyed state: the reference's incremental
-  MeanAggregator (A6) with running {sum, count} per vertex.
+  MeanAggregator (A6) with running {sum, count} per vertex, on both the
+  applyInPandasWithState and Spark-4 transformWithStateInPandas APIs,
+  plus last-writer-wins GraphOp materialization.
+- ``gnn.py`` — the windowed GNN forward (A8): per-(window, vertex)
+  coalescing aggregate + one batched tensor forward, batch≡stream.
+- ``metrics.py`` — listener-bus per-micro-batch throughput/latency
+  recording (A15), zero touch on the data path.
 """
