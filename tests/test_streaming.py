@@ -152,3 +152,26 @@ def test_incremental_mean_tws_equals_batch(spark):
     assert len(merged) == len(batch)
     assert (merged.running_count_s == merged.running_count_b).all()
     assert (abs(merged.running_mean_s - merged.running_mean_b) < 1e-9).all()
+
+
+def test_stream_sliding_equals_batch(spark):
+    """Sliding windows (1h every 15min) streamed over a multi-micro-batch
+    replay equal the batch evaluation — each event lands in exactly 4
+    overlapping windows in both."""
+    def plan(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("value"), 4).alias("u"),  # no COUNT DISTINCT on streams
+            )
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n", "u"
+            )
+        )
+
+    streamed = run_to_completion(
+        plan(events_stream(spark, SF_SMOKE, files_per_trigger=2)), "sliding_stream"
+    ).toPandas()
+    batch = plan(load_table(spark, SF_SMOKE, "events")).toPandas()
+    assert not compare_frames(streamed, batch, "sliding batch≡stream")
