@@ -44,6 +44,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.simsearch",
     "flink_streaming_gnn_spark.llm.textstats",
     "flink_streaming_gnn_spark.llm.multimodal",
+    "flink_streaming_gnn_spark.llm.chunking",
 )
 
 
