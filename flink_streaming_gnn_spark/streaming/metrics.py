@@ -51,6 +51,17 @@ class ProgressRecorder(StreamingQueryListener):
     def total_rows(self) -> int:
         return sum(b["n_rows"] for b in self.batches)
 
+    def await_rows(self, expected: int, timeout_s: float = 30.0) -> int:
+        """Listener-bus delivery is asynchronous — a query can finish before
+        its last progress events arrive. Poll until ``expected`` rows have
+        been accounted (or timeout) and return the count seen."""
+        import time
+
+        deadline = time.time() + timeout_s
+        while self.total_rows < expected and time.time() < deadline:
+            time.sleep(0.2)
+        return self.total_rows
+
 
 @contextmanager
 def recorded_progress(spark: SparkSession):

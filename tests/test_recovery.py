@@ -66,6 +66,7 @@ def test_checkpoint_recovery_exactly_once(spark):
 
 
 def test_listener_accounts_all_rows(spark):
+    n_events = load_table(spark, SF_SMOKE, "events").count()
     with recorded_progress(spark) as rec:
         agg = (
             events_stream(spark, SF_SMOKE, files_per_trigger=4)
@@ -73,7 +74,8 @@ def test_listener_accounts_all_rows(spark):
             .agg(F.count("*").cast("long").alias("n"))
         )
         result = run_to_completion(agg, "metrics_probe").toPandas()
-    n_events = load_table(spark, SF_SMOKE, "events").count()
-    assert rec.total_rows == n_events
+        # bus delivery is async — catch up before the listener detaches
+        seen = rec.await_rows(n_events)
+    assert seen == n_events
     assert len(rec.batches) >= 2  # multi-micro-batch replay
     assert result["n"].sum() == n_events
