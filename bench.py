@@ -13,15 +13,24 @@ per-query numbers are comparable to the warm-cache DuckDB baseline.
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_streaming_gnn_spark import registry  # noqa: E402
 from flink_streaming_gnn_spark.session import get_spark  # noqa: E402
+from flink_streaming_gnn_spark.sources.tables import (  # noqa: E402
+    TABLES,
+    load_table,
+    table_path,
+)
 
 # BASELINE.md Tier-1 headline set (same names, same sf).
 HEADLINE = (
@@ -44,6 +53,109 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------------
+# Amortization evidence (round-1 VERDICT, next-round #7): at sf0.1 most
+# per-query ratios are Spark's fixed ~0.3 s/query floor doing ~10 ms of
+# work; the claim "the overhead amortizes with volume" needs a measurement.
+# We replicate the corpus REPLICAS× with per-replica key shifts (each copy's
+# keys live in a disjoint range, so joins stay shard-local and the data has
+# sf~1 structure, not multiplicity-inflated join blowup), then time the same
+# headline queries in BOTH engines on the SAME blown-up parquet — DuckDB
+# runs the registry's own oracle SQL, so both sides execute the same
+# algorithm (notably graph_2hop's O(E) pre-aggregation rewrite).
+
+_KEY_SHIFT = 100_000_000  # larger than any key at sf<=1
+_SHIFT_COLS = {
+    "customer": ("c_custkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_suppkey", "l_partkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    # nation/region/supplier/part: true dims — copied verbatim
+}
+
+
+def _build_blownup(spark, sf_dir: str, replicas: int) -> str:
+    """Materialize the replicas×-replicated corpus once (cached in tmp,
+    keyed on fixture content + replica count, atomic-renamed into place)."""
+    from pyspark.sql import functions as F
+
+    sig_parts = [f"x{replicas}"]
+    for t in TABLES:
+        st = os.stat(table_path(sf_dir, t))
+        sig_parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    digest = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_blown_{digest}")
+    if os.path.isdir(out_dir):
+        return out_dir
+    staging = tempfile.mkdtemp(prefix=f"graft_blown_{digest}_", dir=tempfile.gettempdir())
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        cols = _SHIFT_COLS.get(t)
+        if cols:
+            copies = []
+            for i in range(replicas):
+                d = df
+                for c in cols:
+                    d = d.withColumn(c, (F.col(c) + F.lit(i * _KEY_SHIFT)).cast("long"))
+                copies.append(d)
+            out = copies[0]
+            for p in copies[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(os.path.join(staging, f"{t}.parquet"))
+    try:
+        os.rename(staging, out_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return out_dir
+
+
+def _bench_blownup(spark, queries, sf_dir: str, replicas: int) -> dict:
+    import duckdb
+
+    blown = _build_blownup(spark, sf_dir, replicas)
+    oracle = registry.all_oracle_sql()
+
+    _materialize(queries["join_multiway_star"](spark, blown))  # warm
+    spark_t: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(queries[name](spark, blown))
+        spark_t[name] = round(time.perf_counter() - t0, 4)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        files = sorted(glob.glob(os.path.join(blown, f"{t}.parquet", "*.parquet")))
+        flist = ", ".join(f"'{f}'" for f in files)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{flist}])")
+    con.execute(oracle["join_3way_revenue"]).fetchall()  # warm
+    duck_t: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        con.execute(oracle[name]).fetchall()
+        duck_t[name] = round(time.perf_counter() - t0, 4)
+    con.close()
+
+    total_s, total_d = sum(spark_t.values()), sum(duck_t.values())
+    return {
+        "replicas": replicas,
+        "note": "same blown-up parquet, same algorithm both engines (oracle SQL)",
+        "spark": spark_t,
+        "duckdb": duck_t,
+        "ratio": {
+            n: (round(spark_t[n] / duck_t[n], 3) if duck_t[n] > 0 else None)
+            for n in HEADLINE
+        },
+        "total_spark": round(total_s, 4),
+        "total_duckdb": round(total_d, 4),
+        "total_ratio": round(total_s / total_d, 3) if total_d > 0 else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -64,17 +176,22 @@ def main() -> None:
         _materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    replicas = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "10"))
+    if replicas > 1:
+        try:
+            payload["sf1x10"] = _bench_blownup(spark, queries, sf_dir, replicas)
+        except Exception as exc:  # amortization section is additive evidence
+            payload["sf1x10"] = {"error": str(exc)[:500]}
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

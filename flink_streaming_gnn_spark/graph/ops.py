@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import EDGES_CTE, derive_edges
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 
@@ -34,7 +35,7 @@ def graph_1hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derive_edges(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     return (
-        e.join(F.broadcast(c), e.src == c.c_custkey)
+        e.join(maybe_broadcast(c), e.src == c.c_custkey)
         .groupBy(F.col("dst").alias("vertex"))
         .agg(
             F.round(F.avg("c_acctbal"), 4).alias("nbr_mean"),
@@ -59,7 +60,7 @@ def graph_2hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derive_edges(spark, sf_dir).select("src", "dst")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     per_b = (
-        e.join(F.broadcast(c), e.src == c.c_custkey)
+        e.join(maybe_broadcast(c), e.src == c.c_custkey)
         .groupBy("dst")
         .agg(F.sum("c_acctbal").alias("s_b"), F.count("*").alias("n_b"))
     )

@@ -24,6 +24,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType
 
 from flink_streaming_gnn_spark.graph.edges import EDGES_V_CTE, derive_vertex_embeddings
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 DIM = 64
@@ -40,12 +41,15 @@ def sage_weights(out_dim: int = OUT_DIM, in_dim: int = DIM) -> tuple[np.ndarray,
 def neighbor_mean(edges_v: DataFrame, features: DataFrame, dim: int) -> DataFrame:
     """Per-vertex mean of in-neighbor feature vectors.
 
-    JVM-only: one broadcast join + one hash aggregate with ``dim``
-    element-wise avg() columns; scales to arbitrary edge counts with a
-    single shuffle on dst_v (partial aggregation handles hot vertices).
+    JVM-only: one join + one hash aggregate with ``dim`` element-wise
+    avg() columns; scales to arbitrary edge counts with a single shuffle on
+    dst_v (partial aggregation handles hot vertices). ``features`` grows
+    with the graph, so it is broadcast only while Catalyst estimates it
+    small — at scale this becomes a shuffle join on src_v, which is the
+    right plan for a features table that no longer fits one executor.
     ``features`` must have (vec_id, feat array<…>).
     """
-    joined = edges_v.join(F.broadcast(features), edges_v.src_v == features.vec_id)
+    joined = edges_v.join(maybe_broadcast(features), edges_v.src_v == features.vec_id)
     aggs = [
         F.avg(F.element_at(F.col("feat").cast("array<double>"), i)).alias(f"_a{i}")
         for i in range(1, dim + 1)

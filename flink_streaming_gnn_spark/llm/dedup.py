@@ -2,7 +2,7 @@
 
 Four tiers, each one rung up the recall/cost ladder:
 - exact        — hash groupBy on the raw text (one shuffle)
-- ngram_jaccard— blocking key (lang, n_chars) → verify Jaccard on pairs
+- ngram_jaccard— MinHash/LSH candidates → exact trigram-Jaccard verify
 - simhash      — 64-bit bitwise fingerprint, hamming-ball candidates
 - minhash      — MinHashLSH (pyspark.ml), probabilistic Jaccard buckets
 - embedding    — cosine near-dup over the vector column
@@ -45,12 +45,47 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_candidate_pairs(
+    d: DataFrame, dist_threshold: float = 0.9, num_tables: int = 16
+) -> DataFrame:
+    """LSH-banded candidate pairs (doc_a < doc_b) over unigram token sets:
+    HashingTF binary features → MinHashLSH(seed) → approxSimilarityJoin.
+    This is THE candidate generator for every near-dup verify stage —
+    candidates come from an equi-join on band hashes (cost ∝ docs sharing
+    a bucket), never from a quadratic within-block pair join. ``d`` needs
+    (doc_id, text). Deterministic for a fixed dataset (seeded family)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    toks = Tokenizer(inputCol="text", outputCol="toks_mh").transform(
+        d.select("doc_id", "text")
+    )
+    tf = HashingTF(
+        inputCol="toks_mh", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, dist_threshold, distCol="mh_dist")
+    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup verification on blocked candidate pairs: token-trigram
-    Jaccard ≥ 0.5 for pairs sharing the blocking key (lang, n_chars).
-    The blocking equi-join is the scale story — the Jaccard verify only
-    ever sees candidates, mirroring how an LSH bucket join feeds its
-    verify stage."""
+    """Near-dup verify stage: exact token-trigram Jaccard ≥ 0.5, computed
+    only on candidate pairs from the MinHash/LSH band join
+    (minhash_candidate_pairs) — the production candidate→verify pipeline.
+
+    Round 1 blocked on (lang, n_chars), which is quadratic in the hottest
+    block and misses near-dups that differ in length; LSH candidates are
+    the 100 TB answer (VERDICT round 1, next-round #4). A pair with
+    trigram Jaccard ≥ 0.5 has unigram Jaccard well above it, so with 16
+    OR-ed hash tables the miss probability is ~(1-j)^16 < 1e-8 — and the
+    seeded family makes the result deterministic per dataset, so the
+    exact-SQL oracle (which verifies ALL pairs) still hash-matches."""
     shingles = (
         "array_distinct(transform(sequence(1, size(toks) - 2),"
         " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
@@ -60,21 +95,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
-        .select("doc_id", "lang", "n_chars", F.expr(shingles).alias("sh"))
+        .select("doc_id", "text", F.expr(shingles).alias("sh"))
     )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.n_chars") == F.col("b.n_chars"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    cands = minhash_candidate_pairs(d)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
         pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
@@ -190,9 +222,13 @@ ORACLE = {
         FROM documents
         GROUP BY text
     """,
+    # The oracle verifies ALL pairs (O(n²) is fine for DuckDB at oracle
+    # scale); the Spark side only verifies LSH candidates — a hash-match
+    # therefore also proves the candidate generator's recall is total on
+    # the fixture's true near-dup pairs.
     "dedup_ngram_jaccard": """
         WITH sh AS (
-            SELECT doc_id, lang, n_chars,
+            SELECT doc_id,
                    list_distinct(list_transform(
                        generate_series(1, len(string_split(text, ' ')) - 2),
                        i -> string_split(text, ' ')[i] || ' ' ||
@@ -205,7 +241,7 @@ ORACLE = {
                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
         FROM sh a JOIN sh b
-          ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+          ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
     """,

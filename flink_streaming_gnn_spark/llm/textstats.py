@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 
@@ -28,15 +29,18 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic TF-IDF, fully relational: explode tokens → tf per (doc,
     token) → df per token → idf = ln(N/df). Two shuffles (both on token /
-    doc keys); the idf side is a small dim joined broadcast-style. Output
-    bounded to tf ≥ 3 terms to keep the comparison set stable."""
+    doc keys). The idf side is vocabulary-sized — it grows with the corpus,
+    so it is broadcast only while Catalyst estimates it small
+    (maybe_broadcast); at 100 TB the tf⋈df join falls back to a shuffle on
+    token. Output bounded to tf ≥ 3 terms to keep the comparison set
+    stable."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = d.count()  # tiny scalar, computed once driver-side
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(maybe_broadcast(df), "token")
         .filter(F.col("tf") >= 3)
         .select(
             "doc_id",

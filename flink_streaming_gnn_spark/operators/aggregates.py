@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 
@@ -115,7 +116,7 @@ def agg_incremental_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
     )
     return (
-        edges.join(F.broadcast(c), edges.src == c.c_custkey)
+        edges.join(maybe_broadcast(c), edges.src == c.c_custkey)
         .groupBy("dst")
         .agg(
             F.round(F.sum("c_acctbal"), 2).alias("feat_sum"),

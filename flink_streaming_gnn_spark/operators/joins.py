@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 
@@ -205,9 +206,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: 4-way star join → revenue by nation (Q5-style).
 
-    lineitem ⋈ orders ⋈ customer ⋈ nation with broadcast dims; one shuffle
-    for lineitem⋈orders (both big), broadcasts for the rest, one shuffle
-    for the final groupBy — the minimal-shuffle plan for this shape.
+    lineitem ⋈ orders ⋈ customer ⋈ nation; one shuffle for lineitem⋈orders
+    (both big), nation always broadcast (25 rows by schema), customer
+    broadcast only while Catalyst estimates it small — at 100 TB customer
+    is billions of rows and AQE must be free to pick a shuffle join.
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -215,7 +217,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(

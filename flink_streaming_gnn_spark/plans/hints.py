@@ -1,0 +1,49 @@
+"""Plan hints that stay valid at scale.
+
+The round-1 design forced ``F.broadcast()`` on every "dimension" side —
+correct while customer/embeddings/vocabulary fit in memory at sf0.1, but a
+forced hint overrides both ``spark.sql.autoBroadcastJoinThreshold`` and
+AQE's runtime demotion, so at the 100 TB posture those plans OOM instead of
+falling back to a shuffle join (VERDICT.md round 1, "What's wrong" #1).
+
+``maybe_broadcast`` applies the hint only when Catalyst's own size estimate
+for the optimized plan is under a threshold; otherwise it returns the frame
+unhinted and lets AQE / autoBroadcastJoinThreshold pick the strategy at
+runtime (which may still broadcast — the point is that the *engine* decides
+with real sizes, not the query author with sf0.1 intuitions). The estimate
+is driver-only plan metadata (parquet footer sizes propagated through the
+plan) — no job runs.
+
+Tables that are constant-size by schema (nation: 25 rows, region: 5) keep
+their unconditional ``F.broadcast`` at the call sites; this helper is for
+tables that grow with the data (customer, embeddings, derived vocabularies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Comfortably broadcastable on executors with a few GiB of heap, while small
+# enough that an 8-byte-per-row key table of ~10M rows still qualifies.
+DEFAULT_BROADCAST_BYTES = 128 * 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for ``df``'s optimized plan, or None
+    when the estimate is unavailable (e.g. some streaming sources)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(stats.sizeInBytes().toString())
+    except Exception:
+        return None
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_BROADCAST_BYTES) -> DataFrame:
+    """Broadcast-hint ``df`` only if Catalyst estimates it under
+    ``max_bytes``; otherwise return it unhinted so AQE keeps the freedom to
+    demote to a shuffle join (or promote to broadcast with runtime sizes)."""
+    size = plan_size_bytes(df)
+    if size is not None and 0 <= size <= max_bytes:
+        return F.broadcast(df)
+    return df

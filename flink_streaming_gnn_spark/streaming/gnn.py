@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import EMB_MOD
 from flink_streaming_gnn_spark.graph.sage import DIM, OUT_DIM, sage_weights
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 
@@ -63,7 +64,7 @@ def windowed_sage(edges: DataFrame, features: DataFrame) -> DataFrame:
         a = _np.stack([_np.asarray(x, dtype=_np.float64) for x in a_col])
         return pd.Series(list(_np.maximum(f @ w1.T + a @ w2.T, 0.0)))
 
-    joined = edges.join(F.broadcast(features), edges.src_v == features.vec_id)
+    joined = edges.join(maybe_broadcast(features), edges.src_v == features.vec_id)
     aggs = [
         F.avg(F.element_at(F.col("feat").cast("array<double>"), i)).alias(f"_a{i}")
         for i in range(1, DIM + 1)
@@ -72,7 +73,7 @@ def windowed_sage(edges: DataFrame, features: DataFrame) -> DataFrame:
     agg_arr = per_win.select(
         "yr", "dst_v", F.array(*[f"_a{i}" for i in range(1, DIM + 1)]).alias("agg")
     )
-    out = agg_arr.join(F.broadcast(features), agg_arr.dst_v == features.vec_id).select(
+    out = agg_arr.join(maybe_broadcast(features), agg_arr.dst_v == features.vec_id).select(
         F.col("yr").cast("long").alias("yr"),
         "vec_id",
         forward("feat", "agg").alias("h"),

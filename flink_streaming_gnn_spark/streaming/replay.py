@@ -39,15 +39,34 @@ def events_stream(
     Re-chunks the single fixture parquet into several files first so the
     file source produces multiple micro-batches (real incremental state
     updates, not one giant batch).
+
+    The chunk cache is keyed on the fixture's identity AND content
+    (path + mtime + size), so a regenerated fixture gets fresh chunks, and
+    is populated atomically (write to a temp dir, ``os.rename`` into place)
+    so concurrent test sessions never observe a partially written cache.
     """
     import hashlib
 
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across processes
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        stat = os.stat(src)
+        fingerprint = f"{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}"
+    except OSError:
+        fingerprint = sf_dir  # directory-style fixtures: fall back to path
+    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
     chunk_dir = os.path.join(tempfile.gettempdir(), f"events_chunks_{digest}")
-    if not os.path.isdir(chunk_dir) or not os.listdir(chunk_dir):
+    if not os.path.isdir(chunk_dir):
+        staging = tempfile.mkdtemp(prefix=f"events_chunks_{digest}_", dir=tempfile.gettempdir())
         load_table(spark, sf_dir, "events").repartition(8, "event_id").write.mode(
             "overwrite"
-        ).parquet(chunk_dir)
+        ).parquet(staging)
+        try:
+            os.rename(staging, chunk_dir)  # atomic publish
+        except OSError:
+            # another session published first; its chunks are equivalent
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string"

@@ -1,11 +1,15 @@
 """Event-time window semantics (SURVEY.md §2B streaming rows).
 
-Each query here is the *batch* evaluation of a streaming plan — the same
-``window()/session_window()`` expressions run unchanged in a
-``readStream`` pipeline (proved by the batch≡stream tests in
-``tests/test_streaming.py``). The DuckDB twins pin the semantics:
-tumbling = epoch-aligned time_bucket, sliding = 4 overlapping 15-min
-slides, session = 30-min lag-gap chains.
+Each query here is the *batch* evaluation of a streaming plan. The
+tumbling and session queries run unchanged in a ``readStream`` pipeline
+(proved by the batch≡stream tests in ``tests/test_streaming.py``). The
+sliding query is the one exception: its exact ``countDistinct(user_id)``
+is unsupported on streaming DataFrames, so a streamed deployment swaps it
+for ``approx_count_distinct`` — the batch form here stays exact so the
+DuckDB oracle can hash-match it; ``stream_sliding_window_streaming_aggs``
+below is the drop-in streaming-safe aggregate list. The DuckDB twins pin
+the semantics: tumbling = epoch-aligned time_bucket, sliding = 4
+overlapping 15-min slides, session = 30-min lag-gap chains.
 """
 
 from __future__ import annotations
@@ -13,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 
@@ -35,9 +40,23 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding_window_streaming_aggs() -> list:
+    """The streaming-safe aggregate list for the sliding window: exact
+    distinct aggregation is unsupported on streaming DataFrames, so the
+    streamed deployment uses the HLL sketch (approx_count_distinct) —
+    which is also the right call at 100 TB, where exact per-window
+    distincts would keep unbounded key state."""
+    return [
+        F.count("*").cast("long").alias("n_events"),
+        F.approx_count_distinct("user_id").alias("n_users"),
+    ]
+
+
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour window sliding every 15 minutes — every event lands in
-    exactly 4 overlapping windows."""
+    exactly 4 overlapping windows. Batch form: exact countDistinct (so the
+    oracle hash-matches); see stream_sliding_window_streaming_aggs for the
+    streaming-legal variant."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
@@ -83,12 +102,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream–static join: events against the broadcast customer dim —
-    in streaming, the static side is re-broadcast per micro-batch."""
+    """Stream–static join: events against the customer dim. The static
+    side is broadcast only while Catalyst estimates it small (customer
+    grows with sf — at 100 TB the stream-static join must be free to
+    shuffle); when broadcast, it is re-broadcast per micro-batch."""
     ev = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        ev.join(maybe_broadcast(c), ev.user_id == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),

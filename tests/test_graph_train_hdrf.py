@@ -80,7 +80,8 @@ class TestTraining:
 
     def test_epoch_losses_decrease(self, spark):
         losses = graph_train_epochs(spark, SF).toPandas().sort_values("epoch")
-        assert len(losses) == 5
+        # epochs are sf-aware (2 at verify-scale fixtures; see _epochs_for)
+        assert len(losses) == 2
         assert losses["mean_loss"].iloc[-1] < losses["mean_loss"].iloc[0]
 
     def test_readout_covers_classes_and_counts(self, spark):

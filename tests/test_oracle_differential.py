@@ -33,3 +33,57 @@ def test_rows_only(spark, key):
     n = sdf.count()
     assert n >= 0
     assert len(sdf.schema.fields) > 0
+
+
+# ---------------------------------------------------------------------------
+# SQL entry-point parity (SURVEY.md §3.2 E2 lifecycle): the same logical
+# query expressed via spark.sql() over register_views() must equal the
+# DataFrame-built registry plan — proving the SQL surface is a real entry
+# point, not a parallel implementation.
+
+_SQL_PARITY = {
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_3way_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """,
+    "dedup_exact": """
+        SELECT text,
+               CAST(min(doc_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY text
+    """,
+}
+
+
+@pytest.mark.parametrize("key", sorted(_SQL_PARITY))
+def test_sql_entry_point_parity(spark, key):
+    from flink_streaming_gnn_spark.sources.tables import register_views
+
+    register_views(spark, SF_ORACLE)
+    sql_pdf = spark.sql(_SQL_PARITY[key]).toPandas()
+    df_pdf = _QUERIES[key](spark, SF_ORACLE).toPandas()
+    problems = compare_frames(sql_pdf, df_pdf, f"sql-parity:{key}")
+    assert not problems, "\n".join(problems)

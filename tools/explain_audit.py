@@ -10,6 +10,13 @@ scale-critical properties Catalyst should be delivering:
 - no CartesianProduct / BroadcastNestedLoopJoin outside the queries that
   are deliberately theta-joins over bounded candidate sets.
 
+Broadcast assertions are *sf-conditional* for scale-dependent tables
+(customer, embeddings — anything gated by plans.hints.maybe_broadcast):
+BroadcastHashJoin is required only when the table's on-disk size at the
+audited sf_dir is under the gate threshold; above it, a shuffle join is the
+correct plan and is accepted. Asserting "broadcast always" would enshrine
+a plan that OOMs at 100 TB (round-1 VERDICT, "What's wrong" #1).
+
 Run: python tools/explain_audit.py [sf_dir]   (default /root/testdata/sf0.1)
 Exit 1 if any expectation fails — wire into CI next to pytest.
 """
@@ -48,10 +55,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "window_topk_per_group": ([r"WindowGroupLimit"], [r"CartesianProduct"]),
     "graph_2hop_neighbor_agg": (
-        # customer dim broadcast; the dst-join is a shuffled hash/merge join
-        # BY DESIGN (per-vertex aggregate is unbounded at scale — never
-        # broadcast it); pre-aggregation shows as partial_sum before it
-        [r"HashAggregate", r"BroadcastHashJoin", r"partial_sum"],
+        # the dst-join is a shuffled hash/merge join BY DESIGN (per-vertex
+        # aggregate is unbounded at scale — never broadcast it);
+        # pre-aggregation shows as partial_sum before it. The customer-side
+        # broadcast is asserted conditionally via GATED_BROADCASTS.
+        [r"HashAggregate", r"partial_sum"],
         [r"CartesianProduct"],
     ),
     "semi_anti": ([r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin"], []),
@@ -61,9 +69,29 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # deliberately-bounded theta joins: broadcast the tiny probe side, never
     # a shuffled cartesian of the full collection.
     "vector_knn_cosine": ([r"BroadcastNestedLoopJoin"], [r"CartesianProduct"]),
-    "graph_1hop_agg": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    "graph_1hop_agg": ([], [r"CartesianProduct"]),
     "graph_sage_layer": ([r"ArrowEvalPython|FlatMapsInPandas|BatchEvalPython"], [r"CartesianProduct"]),
 }
+
+# query -> gating table: BroadcastHashJoin is asserted only when the table's
+# on-disk size at this sf is under the maybe_broadcast threshold; above it a
+# shuffle join (SortMergeJoin/ShuffledHashJoin) is asserted instead.
+GATED_BROADCASTS: dict[str, str] = {
+    "graph_1hop_agg": "customer",
+    "graph_2hop_neighbor_agg": "customer",
+    "graph_sage_layer": "embeddings",
+}
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return os.path.getsize(path)
 
 
 def main() -> None:
@@ -71,7 +99,17 @@ def main() -> None:
     spark = get_spark("explain_audit")
     queries = registry.all_queries()
     failures: list[str] = []
+    from flink_streaming_gnn_spark.plans.hints import DEFAULT_BROADCAST_BYTES
+
     for name, (must, must_not) in EXPECTATIONS.items():
+        must, must_not = list(must), list(must_not)
+        gate_table = GATED_BROADCASTS.get(name)
+        if gate_table is not None:
+            if _table_bytes(sf_dir, gate_table) <= DEFAULT_BROADCAST_BYTES:
+                must.append(r"BroadcastHashJoin")
+            else:
+                # above the gate: shuffle join is the *correct* plan
+                must.append(r"SortMergeJoin|ShuffledHashJoin")
         df = queries[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
