@@ -24,6 +24,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 48 relational/join/agg/window/fn keys already driver-attested in round 1
 # take the back seat. Semantics are order-independent (keys are unique).
 _MODULES = (
+    "flink_streaming_gnn_spark.llm.pipeline",
     "flink_streaming_gnn_spark.graph.ops",
     "flink_streaming_gnn_spark.graph.sage",
     "flink_streaming_gnn_spark.graph.hdrf",
