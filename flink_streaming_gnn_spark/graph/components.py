@@ -1,0 +1,113 @@
+"""Connected components over the derived bipartite graph — the classic
+iterative graph operator the relational engine must also express
+(SURVEY.md §2B GNN/graph rows; same driver-loop iteration shape as the
+reference's A10 feedback edge).
+
+Algorithm: hash-min label propagation. Every vertex starts labeled with
+its own id; each round takes the min of its own and its neighbors' labels;
+fixpoint = every vertex carries the min vertex id of its component. Each
+round is one join + one aggregate (both shuffle on vertex id, so at scale
+consecutive rounds reuse the same hash partitioning), and the driver-side
+convergence check reads a single count — no row-level data ever reaches
+the driver. Rounds needed = graph diameter (small for this corpus's dense
+bipartite core). The accelerated variant for adversarial diameters is
+large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) — same per-round plan shape, fewer rounds.
+
+Vertex-id space: customer c and supplier s collide numerically, so
+customers map to 2c and suppliers to 2s+1 (disjoint evens/odds).
+
+Output is the deterministic per-component summary (label = min vertex id
+in component, size, customer/supplier breakdown). Rows-only in the driver
+(DuckDB's recursive-CTE twin materializes the full reachability relation —
+|V|² on the giant component — so no SQL oracle is viable); the operator is
+instead pinned exactly against a union-find reference implementation in
+tests/test_components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.graph.edges import derive_edges
+
+MAX_ROUNDS = 25
+
+
+def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_edges(spark, sf_dir).select(
+        (F.col("src") * 2).alias("a"), (F.col("dst") * 2 + 1).alias("b")
+    ).distinct()
+    return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex component labels by hash-min propagation (driver loop
+    with an O(1)-size convergence read per round)."""
+    edges = _undirected_edges(spark, sf_dir).persist()
+    labels = (
+        edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    ).persist()
+    try:
+        for _ in range(MAX_ROUNDS):
+            nbr_min = (
+                edges.join(labels, edges.b == labels.v)
+                .groupBy("a")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.v == nbr_min.a, "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # returned persisted: downstream consumers read the converged
+        # labels without replaying the iterative lineage
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component summary: label (min vertex id), total size, and the
+    customer/supplier split — deterministic, so invariant tests can pin it
+    exactly against union-find."""
+    labels = cc_labels(spark, sf_dir)
+    out = (
+        labels.groupBy("lbl")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.sum(((F.col("v") % 2) == 0).cast("long")).cast("long").alias("n_customers"),
+            F.sum(((F.col("v") % 2) == 1).cast("long")).cast("long").alias("n_suppliers"),
+        )
+        .select(
+            F.col("lbl").cast("long").alias("component"),
+            "n_vertices",
+            "n_customers",
+            "n_suppliers",
+        )
+        .orderBy("component")
+    )
+    return out
+
+
+QUERIES = {"graph_connected_components": graph_connected_components}
+
+# rows-only: see module docstring (recursive-CTE oracle is |V|^2 on the
+# giant component); exact-match vs union-find pinned in tests.
+ORACLE: dict[str, str] = {}

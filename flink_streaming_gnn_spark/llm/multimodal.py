@@ -97,10 +97,41 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SLOTS = 4
+FPS = 24
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic video frame sampling plan: given per-asset metadata
+    (duration derived deterministically from doc_id here; a real pipeline
+    reads it from the probe/metadata struct), pick {FRAME_SLOTS} evenly
+    spaced frame indices per asset and emit one row per (asset, slot) with
+    the frame index and its timestamp — the exact explode the real
+    frame-extraction mapInPandas (multimodal_decode_stub's shape) consumes.
+    All integer arithmetic (div), no floats: every engine agrees exactly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("duration_s", (1 + F.pmod("doc_id", F.lit(30))).cast("long"))
+    d = d.withColumn("n_frames", (F.col("duration_s") * FPS).cast("long"))
+    slots = d.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.lit(FRAME_SLOTS - 1))).alias("slot"),
+    )
+    return slots.select(
+        "doc_id",
+        F.col("slot").cast("long").alias("slot"),
+        F.expr(f"(slot * (n_frames - 1)) div {FRAME_SLOTS - 1}").alias("frame_idx"),
+        F.expr(
+            f"((slot * (n_frames - 1)) div {FRAME_SLOTS - 1}) * 1000 div {FPS}"
+        ).alias("ts_ms"),
+    )
+
+
 QUERIES = {
     "multimodal_cols": multimodal_cols,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_decode_stub": multimodal_decode_stub,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
@@ -120,4 +151,18 @@ ORACLE = {
         FROM documents
     """,
     # multimodal_decode_stub: rows-only (decoder faked; plumbing pinned in tests)
+    "multimodal_frame_sample": f"""
+        WITH meta AS (
+            SELECT doc_id,
+                   (1 + doc_id % 30) * {FPS} AS n_frames
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(s.slot AS BIGINT) AS slot,
+               CAST((s.slot * (n_frames - 1)) // {FRAME_SLOTS - 1} AS BIGINT) AS frame_idx,
+               CAST(((s.slot * (n_frames - 1)) // {FRAME_SLOTS - 1}) * 1000 // {FPS}
+                   AS BIGINT) AS ts_ms
+        FROM meta
+        CROSS JOIN (SELECT unnest(generate_series(0, {FRAME_SLOTS - 1})) AS slot) s
+    """,
 }

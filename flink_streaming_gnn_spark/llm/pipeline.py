@@ -150,11 +150,48 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel end-to-end, as ONE declarative plan: exact-dup
+    survivors (min doc_id per text) → quality gate (llm.textstats score ≥
+    0.5) → stratified language gate → per-(lang, source) survivor stats.
+    Composing the stages as expressions (not materialized passes) lets
+    Catalyst collapse the funnel into a single scan + one window + one
+    aggregate — the plan you want when the input is 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    digit_chars = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+    quality = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + (n_distinct / n_words) * 0.4
+        + (1.0 - digit_chars / F.col("n_chars")) * 0.2
+    )
+    rate = F.lit(DEFAULT_RATE_PCT)
+    for lang, pct in SAMPLE_RATES_PCT.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    survivor = F.min("doc_id").over(Window.partitionBy("text"))
+    return (
+        d.withColumn("is_survivor", F.col("doc_id") == survivor)
+        .filter(
+            F.col("is_survivor")
+            & (F.round(quality, 4) >= 0.5)
+            & (F.pmod("doc_id", F.lit(100)) < rate)
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "decontam_ngram": decontam_ngram,
     "pack_sequences": pack_sequences,
     "mix_weights": mix_weights,
+    "quality_filter_pipeline": quality_filter_pipeline,
 }
 
 _RATE_CASE = "CASE " + " ".join(
@@ -215,5 +252,26 @@ ORACLE = {
                CAST(src_tok AS BIGINT) AS src_tokens,
                round(least(1.0, (tot_tok / n_src) / src_tok), 6) AS weight
         FROM per_src CROSS JOIN tot
+    """,
+    "quality_filter_pipeline": f"""
+        WITH scored AS (
+            SELECT doc_id, lang, source, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+                         + (len(list_distinct(string_split(text, ' '))) * 1.0
+                            / len(string_split(text, ' '))) * 0.4
+                         + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                            / n_chars) * 0.2, 4) AS quality,
+                   min(doc_id) OVER (PARTITION BY text) AS survivor_id
+            FROM documents
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens
+        FROM scored
+        WHERE doc_id = survivor_id
+          AND quality >= 0.5
+          AND doc_id % 100 < {_RATE_CASE}
+        GROUP BY lang, source
     """,
 }

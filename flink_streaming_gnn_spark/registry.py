@@ -25,6 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # take the back seat. Semantics are order-independent (keys are unique).
 _MODULES = (
     "flink_streaming_gnn_spark.llm.pipeline",
+    "flink_streaming_gnn_spark.graph.components",
     "flink_streaming_gnn_spark.graph.ops",
     "flink_streaming_gnn_spark.graph.sage",
     "flink_streaming_gnn_spark.graph.hdrf",

@@ -38,6 +38,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.default.parallelism", str(n))
+        # Scan-split size follows the same sizing rule as shuffle
+        # partitions: fixtures here are ~100 MB, so the 128 MB default
+        # collapses scans to one task and starves the other 31 cores —
+        # 16 MB keeps every core fed. On a 1000-executor/100 TB deployment
+        # set SPARK_GRAFT_MAX_PARTITION_BYTES back to 128 MB+ (fewer,
+        # fuller tasks; the scheduler, not the split size, is the
+        # parallelism source there).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # ANSI mode off: engine follows classic Spark SQL null-on-error

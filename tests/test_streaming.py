@@ -157,16 +157,22 @@ def test_incremental_mean_tws_equals_batch(spark):
 def test_stream_sliding_equals_batch(spark):
     """Sliding windows (1h every 15min) streamed over a multi-micro-batch
     replay equal the batch evaluation — each event lands in exactly 4
-    overlapping windows in both."""
+    overlapping windows in both. Uses the module's streaming-legal
+    aggregate list (approx_count_distinct, not the batch-only exact
+    countDistinct): the HLL sketch is a deterministic function of the
+    input multiset, so streamed == batch holds exactly."""
+    from flink_streaming_gnn_spark.streaming.windows import (
+        stream_sliding_window_streaming_aggs,
+    )
+
     def plan(df):
         return (
             df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.round(F.sum("value"), 4).alias("u"),  # no COUNT DISTINCT on streams
-            )
+            .agg(*stream_sliding_window_streaming_aggs())
             .select(
-                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n", "u"
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "n_events",
+                "n_users",
             )
         )
 

@@ -71,6 +71,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "vector_knn_cosine": ([r"BroadcastNestedLoopJoin"], [r"CartesianProduct"]),
     "graph_1hop_agg": ([], [r"CartesianProduct"]),
     "graph_sage_layer": ([r"ArrowEvalPython|FlatMapsInPandas|BatchEvalPython"], [r"CartesianProduct"]),
+    # curation funnel: Catalyst must fuse dedup-survivor + quality gate +
+    # sampling gate into ONE scan of documents — no join anywhere, exactly
+    # one window over the single scan
+    "quality_filter_pipeline": (
+        [r"Window", r"HashAggregate"],
+        [r"Join", r"CartesianProduct"],
+    ),
+    # packing is one windowed cumsum per shard: no join, no extra exchanges
+    "pack_sequences": ([r"Window"], [r"Join"]),
+    # decontamination: equi-join on the shingle only — never a cross join
+    "decontam_ngram": ([r"HashAggregate"], [r"CartesianProduct", r"NestedLoop"]),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
