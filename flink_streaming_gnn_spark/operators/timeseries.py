@@ -1,0 +1,102 @@
+"""Time-series operators over the events stream table (SURVEY.md §2B
+relational rows; the hypertable-rollup / changelog-materialization pair a
+telemetry pipeline needs next to the windowed aggregates in streaming/).
+
+* ``rollup_hypertable_events`` — multi-granularity time rollup
+  (total → per-day → per-day-per-hour) in ONE pass via ROLLUP grouping
+  sets: Spark expands the sets inside a single hash aggregate (Expand +
+  partial agg), so the coarse tiers are map-side combines of the fine
+  tier, not re-scans. This is the batch shape of a continuous-aggregate /
+  hypertable rollup: at 100 TB the same query over a date-partitioned
+  table prunes to the dirty partitions and upserts the rollup sink.
+
+* ``cdc_latest_snapshot`` — changelog → current-state materialization:
+  latest record per user via one window row_number (single shuffle on the
+  key, WindowGroupLimit pushes the rank-1 filter below the sort), with
+  tombstone semantics (a user whose latest event is an ``error`` drops out
+  of the snapshot — the DELETE case of a CDC apply). The streaming twin is
+  dropDuplicates-on-key over a watermarked stream; the batch form is the
+  backfill path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+
+def rollup_hypertable_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (day, hour): counts, value sums, distinct users per tier.
+    gid disambiguates tiers (0=day+hour, 1=day, 3=grand total)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        "user_id",
+        "value",
+    )
+    return (
+        ev.rollup("day", "hour")
+        .agg(
+            (F.grouping("day") * 2 + F.grouping("hour")).cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select("day", "hour", "gid", "n_events", "sum_value", "n_users")
+    )
+
+
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest state per user from the event changelog; users whose newest
+    event is a tombstone (``error``) are deleted from the snapshot."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+QUERIES = {
+    "rollup_hypertable_events": rollup_hypertable_events,
+    "cdc_latest_snapshot": cdc_latest_snapshot,
+}
+
+ORACLE = {
+    "rollup_hypertable_events": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+               CAST(GROUPING(strftime(ts, '%Y-%m-%d')) * 2
+                    + GROUPING(extract(hour FROM ts)) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), extract(hour FROM ts))
+    """,
+    "cdc_latest_snapshot": """
+        WITH ranked AS (
+            SELECT user_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+               event_type AS last_type,
+               value AS last_value
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+}

@@ -24,6 +24,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 48 relational/join/agg/window/fn keys already driver-attested in round 1
 # take the back seat. Semantics are order-independent (keys are unique).
 _MODULES = (
+    "flink_streaming_gnn_spark.graph.sampling",
+    "flink_streaming_gnn_spark.graph.attention",
+    "flink_streaming_gnn_spark.graph.triangles",
+    "flink_streaming_gnn_spark.operators.timeseries",
+    "flink_streaming_gnn_spark.streaming.joins",
+    "flink_streaming_gnn_spark.llm.curation",
     "flink_streaming_gnn_spark.llm.pipeline",
     "flink_streaming_gnn_spark.graph.components",
     "flink_streaming_gnn_spark.graph.pagerank",
