@@ -66,9 +66,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "dedup_exact": ([r"HashAggregate"], [r"Exchange hashpartitioning\(text"]),
     "tumbling_window_events": ([r"HashAggregate"], [r"CartesianProduct"]),
     "sessionize_approx": ([], [r"CartesianProduct"]),
-    # deliberately-bounded theta joins: broadcast the tiny probe side, never
-    # a shuffled cartesian of the full collection.
-    "vector_knn_cosine": ([r"BroadcastNestedLoopJoin"], [r"CartesianProduct"]),
+    # Arrow-batched BLAS scorer: one MapInPandas over the collection scan
+    # (probes ship in the closure — no join at all), per-probe top-k pushed
+    # down as WindowGroupLimit.
+    "vector_knn_cosine": (
+        [r"MapInPandas", r"WindowGroupLimit"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Join"],
+    ),
     "graph_1hop_agg": ([], [r"CartesianProduct"]),
     "graph_sage_layer": ([r"ArrowEvalPython|FlatMapsInPandas|BatchEvalPython"], [r"CartesianProduct"]),
     # curation funnel: Catalyst must fuse dedup-survivor + quality gate +
@@ -82,6 +86,26 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "pack_sequences": ([r"Window"], [r"Join"]),
     # decontamination: equi-join on the shingle only — never a cross join
     "decontam_ngram": ([r"HashAggregate"], [r"CartesianProduct", r"NestedLoop"]),
+    # fixed-fanout sampling: per-vertex top-K must ride WindowGroupLimit
+    "graph_neighbor_sample": ([r"WindowGroupLimit"], [r"CartesianProduct"]),
+    # GAT layer is pure JVM (zip_with/aggregate + windows) — any *EvalPython
+    # node means the dot products fell off the codegen path
+    "graph_gat_layer": (
+        [r"Window", r"HashAggregate"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # interval join: band condition must ride an equi-join on user, never a
+    # nested-loop over the full event stream
+    "stream_stream_interval_join": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # ROLLUP: one Expand + one aggregate pass, not one scan per tier
+    "rollup_hypertable_events": ([r"Expand", r"HashAggregate"], [r"Union"]),
+    # CDC snapshot: rank-1 filter pushed below the sort
+    "cdc_latest_snapshot": ([r"WindowGroupLimit"], [r"Join"]),
+    # PII scrub is a map-only pass: zero exchanges
+    "text_pii_redact": ([], [r"Exchange", r"Join"]),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
