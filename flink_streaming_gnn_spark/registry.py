@@ -27,6 +27,8 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.sampling",
     "flink_streaming_gnn_spark.graph.attention",
     "flink_streaming_gnn_spark.graph.triangles",
+    "flink_streaming_gnn_spark.graph.linkpred",
+    "flink_streaming_gnn_spark.graph.kcore",
     "flink_streaming_gnn_spark.operators.timeseries",
     "flink_streaming_gnn_spark.streaming.joins",
     "flink_streaming_gnn_spark.llm.curation",

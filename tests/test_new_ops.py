@@ -123,6 +123,50 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row.n_triangles == n_tri
 
 
+def test_kcore_matches_sequential_peel(spark):
+    from flink_streaming_gnn_spark.graph.kcore import K, kcore_vertices
+    from flink_streaming_gnn_spark.graph.triangles import _supplier_edges
+
+    pairs = {
+        (int(r.a), int(r.b)) for r in _supplier_edges(spark, SF_SMOKE).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # sequential peel
+    changed = True
+    while changed:
+        drop = [v for v, ns in adj.items() if len(ns) < K]
+        changed = bool(drop)
+        for v in drop:
+            for o in adj.pop(v):
+                adj[o].discard(v)
+    got = {int(r.v): int(r.core_deg) for r in kcore_vertices(spark, SF_SMOKE).collect()}
+    want = {v: len(ns) for v, ns in adj.items() if ns}
+    assert got == want
+
+
+def test_common_neighbors_matches_bruteforce(spark):
+    from flink_streaming_gnn_spark.graph.linkpred import graph_common_neighbors
+
+    edges = {
+        (int(r.src), int(r.dst))
+        for r in derive_edges(spark, SF_SMOKE).select("src", "dst").distinct().collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for c, s in edges:
+        nbrs.setdefault(s, set()).add(c)
+    got = graph_common_neighbors(spark, SF_SMOKE).toPandas()
+    for r in got.itertuples():
+        a, b = int(r.a), int(r.b)
+        common = len(nbrs[a] & nbrs[b])
+        assert int(r.common) == common
+        assert int(r.deg_a) == len(nbrs[a])
+        assert int(r.deg_b) == len(nbrs[b])
+        assert abs(r.jaccard - round(common / len(nbrs[a] | nbrs[b]), 6)) < 1e-9
+
+
 def test_cdc_snapshot_matches_pandas(spark):
     ev = load_table(spark, SF_SMOKE, "events").toPandas()
     last = (
