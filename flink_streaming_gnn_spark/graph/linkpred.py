@@ -56,7 +56,37 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("jaccard").desc(), "a", "b").limit(TOP_N)
 
 
-QUERIES = {"graph_common_neighbors": graph_common_neighbors}
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link-prediction score for supplier pairs:
+    AA(a,b) = Σ_{c ∈ N(a)∩N(b)} 1/ln(deg(c)) — common neighbors weighted
+    inversely by how promiscuous they are (a customer who buys from
+    everyone carries no signal; the log-degree discount is the classical
+    fix, Adamic & Adar 2003).
+
+    Same wedge-join shape as graph_common_neighbors, with the shared
+    customer's degree joined in broadcast-gated BEFORE the wedge
+    aggregation so the weight rides the existing shuffle. Contributing
+    wedge centers always have deg ≥ 2 (they touch both a and b), so
+    1/ln(deg) is finite by construction."""
+    e = derive_edges(spark, sf_dir).select("src", "dst").distinct()
+    cdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("cdeg"))
+    e1 = e.join(maybe_broadcast(cdeg), "src")
+    e2 = e.select(F.col("src").alias("src2"), F.col("dst").alias("b"))
+    pairs = (
+        e1.join(e2, (e1.src == e2.src2) & (e1.dst < e2.b))
+        .groupBy(F.col("dst").alias("a"), "b")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("cdeg").cast("double"))), 6).alias("aa"),
+        )
+    )
+    return pairs.orderBy(F.col("aa").desc(), "a", "b").limit(TOP_N)
+
+
+QUERIES = {
+    "graph_common_neighbors": graph_common_neighbors,
+    "graph_adamic_adar": graph_adamic_adar,
+}
 
 ORACLE = {
     "graph_common_neighbors": f"""
@@ -76,6 +106,20 @@ ORACLE = {
         JOIN deg da ON da.dst = p.a
         JOIN deg db ON db.dst = p.b
         ORDER BY jaccard DESC, p.a, p.b
+        LIMIT {TOP_N}
+    """,
+    "graph_adamic_adar": f"""
+        WITH {EDGES_CTE},
+        de AS (SELECT DISTINCT src, dst FROM edges),
+        cdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS cdeg FROM de GROUP BY src)
+        SELECT e1.dst AS a, e2.dst AS b,
+               CAST(count(*) AS BIGINT) AS common,
+               round(sum(1.0 / ln(CAST(c.cdeg AS DOUBLE))), 6) AS aa
+        FROM de e1
+        JOIN de e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN cdeg c ON c.src = e1.src
+        GROUP BY e1.dst, e2.dst
+        ORDER BY aa DESC, a, b
         LIMIT {TOP_N}
     """,
 }

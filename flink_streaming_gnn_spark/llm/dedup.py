@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.functions.arrays import dot_expr
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 
@@ -193,6 +194,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_over_pairs(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
+    """Connected components over an undirected pair list ``(doc_a, doc_b)``
+    by hash-min label propagation (same driver-loop shape as
+    graph/components.py, specialized to the near-dup graph). Returns
+    ``(node, canonical)`` where canonical = min doc_id of the component.
+
+    Scale posture: the dup graph is orders of magnitude smaller than the
+    corpus (only docs that share an LSH bucket AND verified), so each
+    round's join+agg shuffles pair-list-sized frames, never the corpus;
+    near-dup clusters have tiny diameter (most are cliques), so the loop
+    converges in 2-3 rounds.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_rounds):
+            nbr_min = (
+                edges.join(labels, edges.v == labels.node)
+                .groupBy("u")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.u, "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        out = labels.select("node", F.col("lbl").alias("canonical")).persist()
+        out.count()  # materialize so the loop-carried cache can release now
+        labels.unpersist()
+        return out
+    finally:
+        edges.unpersist()
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step real pipelines need after pair generation: turn near-dup
+    PAIRS into a deduplicated CORPUS. LSH candidates → exact trigram-Jaccard
+    verify (≥ 0.5, the dedup_ngram_jaccard stage) → connected components
+    over the dup graph → canonical doc per cluster (min doc_id) → full
+    corpus mapping ``(doc_id, canonical_id, is_survivor)``; survivors are
+    the deduplicated corpus.
+
+    100 TB path: the CC loop runs on the verified pair list (≪ corpus);
+    the final mapping is one left join of the corpus against the
+    cluster-membership table, which is dup-cluster-sized and broadcast-gated.
+    Oracle: all-pairs verify + recursive-CTE reachability — a hash match
+    proves both the LSH recall AND the clustering are exact on the fixture.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _cc_over_pairs(pairs)
+    out = (
+        d.select("doc_id")
+        .join(
+            maybe_broadcast(comp.withColumnRenamed("node", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("canonical", F.col("doc_id")).cast("long").alias("canonical_id"),
+        )
+        .withColumn("is_survivor", (F.col("canonical_id") == F.col("doc_id")))
+    )
+    # materialize before unpersisting the loop-carried labels frame
+    rows = out.collect()
+    comp.unpersist()
+    return spark.createDataFrame(
+        rows, schema="doc_id long, canonical_id long, is_survivor boolean"
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
@@ -200,6 +295,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_minhash": dedup_minhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
 }
 
 _DUCK_COS = (
@@ -251,6 +347,38 @@ ORACLE = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_DUCK_COS} >= 0.9
+    """,
+    # The oracle re-derives the dup graph from ALL pairs (no LSH) and
+    # resolves clusters with a recursive-CTE reachability fixpoint — a hash
+    # match therefore proves LSH candidate recall AND the distributed CC
+    # loop agree with exact transitive closure on the fixture.
+    "dedup_cluster_canonical": """
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2])) AS s
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        pe AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        ),
+        reach(node, lbl) AS (
+            SELECT DISTINCT u, u FROM pe
+            UNION
+            SELECT pe.v, reach.lbl FROM reach JOIN pe ON pe.u = reach.node
+        ),
+        comp AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id,
+               (coalesce(c.canonical, d.doc_id) = d.doc_id) AS is_survivor
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     """,
     # dedup_simhash, dedup_minhash: rows-only (engine-specific hashes /
     # randomized LSH family; invariants pinned in tests/test_llm.py)

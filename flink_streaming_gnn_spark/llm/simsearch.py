@@ -187,8 +187,115 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subvectors
+PQ_K = 16  # centroids per subspace
+PQ_TRAIN_N = 256  # bounded, deterministic training sample (driver-side)
+
+
+def pq_codebooks(
+    vecs: np.ndarray, m: int = PQ_M, k: int = PQ_K, iters: int = 8, seed: int = 11
+) -> np.ndarray:
+    """Per-subspace k-means codebooks (m, k, dim/m) via a few seeded Lloyd
+    iterations on a bounded sample — PQ training stays driver-side
+    because it touches PQ_TRAIN_N rows, never the collection."""
+    n, dim = vecs.shape
+    d = dim // m
+    rs = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        sub = vecs[:, j * d : (j + 1) * d]
+        cent = sub[rs.choice(n, k, replace=False)].copy()
+        for _ in range(iters):
+            dist = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(0)
+        books.append(cent)
+    return np.stack(books)
+
+
+def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the
+    memory-bound tier of the ANN ladder (brute / IVF / LSH / PQ): each
+    L2-normalized vector is encoded as PQ_M 4-bit-ish codes (argmin to the
+    subspace codebook), and probes score candidates by asymmetric distance
+    — one lookup-table gather per subspace instead of a 64-dim dot.
+
+    100 TB posture: the encoded collection is PQ_M bytes/vector (64× less
+    than float32×64), built in ONE embarrassingly-parallel pass; the
+    codebooks (m·k·d floats) and the probes' LUTs are closure-broadcast;
+    scoring is a numpy fancy-index gather inside Arrow-batched mapInPandas
+    — no shuffle until the (probe, cand, score) triples hit the top-k
+    window. Rows-only (quantization is lossy by design); recall@k vs the
+    brute-force tier is pinned in tests/test_llm.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    train = (
+        e.filter(F.col("vec_id") < PQ_TRAIN_N).select("vec_id", "embedding").collect()
+    )
+    t_mat = np.array([list(r.embedding) for r in train], dtype=np.float64)
+    t_mat /= np.linalg.norm(t_mat, axis=1, keepdims=True)
+    books = pq_codebooks(t_mat)  # (m, k, d)
+    probes = e.filter(F.col("vec_id") < N_PROBES).select("vec_id", "embedding").collect()
+    probes.sort(key=lambda r: r.vec_id)
+    p_ids = [int(r.vec_id) for r in probes]
+    p_mat = np.array([list(r.embedding) for r in probes], dtype=np.float64)
+    p_mat /= np.linalg.norm(p_mat, axis=1, keepdims=True)
+    m, k, d = books.shape
+    # ADC lookup tables: lut[p, j, c] = <probe_p subvec_j, codebook[j][c]>
+    lut = np.einsum("pjd,jcd->pjc", p_mat.reshape(len(p_ids), m, d), books)
+    books_l = books.tolist()
+    lut_l = lut.tolist()
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        bk = _np.asarray(books_l)  # (m, k, d)
+        lt = _np.asarray(lut_l)  # (p, m, k)
+        ids = _np.asarray(p_ids)
+        n_p = len(ids)
+        for pdf in batches:
+            c = _np.stack([_np.asarray(x, dtype=_np.float64) for x in pdf["embedding"]])
+            c /= _np.linalg.norm(c, axis=1, keepdims=True)
+            sub = c.reshape(len(c), m, d)  # (n, m, d)
+            # encode: argmin L2 to each subspace codebook
+            d2 = ((sub[:, :, None, :] - bk[None, :, :, :]) ** 2).sum(-1)  # (n, m, k)
+            codes = d2.argmin(-1)  # (n, m)
+            # ADC score for all probes: gather + sum over subspaces
+            g = lt[:, _np.arange(m)[None, :], codes]  # (p, n, m)
+            s = g.sum(-1)  # (p, n)
+            n_c = len(c)
+            yield _pd.DataFrame(
+                {
+                    "cand_id": _np.tile(pdf["vec_id"].values, n_p),
+                    "probe_id": _np.repeat(ids, n_c),
+                    "adc_cos": s.ravel(),
+                }
+            )
+
+    scored = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(score, schema="cand_id long, probe_id long, adc_cos double")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("adc_cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round("adc_cos", 6).alias("adc_cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 QUERIES = {
     "simsearch_cosine_knn": simsearch_cosine_knn,
+    "simsearch_pq": simsearch_pq,
     "vector_knn_cosine": simsearch_cosine_knn,  # BASELINE.md headline name
     "simsearch_ivf": simsearch_ivf,
     "simsearch_lsh": simsearch_lsh,

@@ -142,6 +142,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring with a corpus-trained word-bigram
+    LM — the standard pretraining-corpus filter (docs whose token
+    transitions are improbable under the corpus model are low-quality /
+    outlier content; Wenzek et al., CCNet, use a KenLM exactly this way).
+
+    Fully relational and JVM-side: bigram explode → two hash aggs for the
+    counts c(w1,w2) and c(w1,·) → per-position join → per-doc avg log
+    P(w2|w1) and perplexity. The LM is trained on the scored corpus itself
+    so every bigram has count ≥ 1 (no smoothing term needed — MLE is
+    finite), mirroring self-scored corpus filtering. The count tables are
+    vocabulary-sized (grow with the corpus): broadcast-gated, falling back
+    to a shuffle join on the bigram/head key at 100 TB. avg_logp is rounded
+    before the perplexity exp() in both engines so cross-engine float
+    drift cannot split the hash."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) as head,"
+                " concat(element_at(toks, i), ' ', element_at(toks, i + 1)) as bigram))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.head", "p.bigram")
+    c_bg = bg.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    c_head = bg.groupBy("head").agg(F.count("*").alias("c_head"))
+    scored = (
+        bg.join(maybe_broadcast(c_bg), "bigram")
+        .join(maybe_broadcast(c_head), "head")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c_bg").cast("double") / F.col("c_head"))), 6
+            ).alias("avg_logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logp",
+        F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_tokenize_tf": text_stats,  # BASELINE.md headline name
@@ -150,6 +201,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_ngram_lm_score": text_ngram_lm_score,
 }
 
 _STATS_SQL = """
@@ -248,5 +300,29 @@ ORACLE = {
                             string_split(text, ' ')[i + 3] || ' ' ||
                             string_split(text, ' ')[i + 4]))) AS winnow_min
         FROM documents
+    """,
+    "text_ngram_lm_score": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        pos AS (
+            SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM t
+        ),
+        bg AS (
+            SELECT doc_id, w[i] AS head, w[i] || ' ' || w[i + 1] AS bigram FROM pos
+        ),
+        cb AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY bigram),
+        chd AS (SELECT head, count(*) AS c_head FROM bg GROUP BY head),
+        doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(ln(CAST(c_bg AS DOUBLE) / c_head)), 6) AS avg_logp
+            FROM bg JOIN cb USING (bigram) JOIN chd USING (head)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl
+        FROM doc
     """,
 }

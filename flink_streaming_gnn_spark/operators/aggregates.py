@@ -156,8 +156,29 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 per event_type via approx_percentile
+    (Greenwald–Khanna / KLL-style mergeable sketch, accuracy 10000). The
+    100 TB replacement for exact percentile's full sort-per-group: sketches
+    combine map-side, so the shuffle carries O(sketch) per group, not every
+    value. Rows-only by design (sketch-algorithm-specific results); the
+    error bound vs the exact interpolated percentile is pinned in
+    tests/test_new_ops.py."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q")
+    )
+    return q.select(
+        "event_type",
+        F.round(F.col("q")[0], 4).alias("p50"),
+        F.round(F.col("q")[1], 4).alias("p90"),
+        F.round(F.col("q")[2], 4).alias("p99"),
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
+    "agg_approx_quantile": agg_approx_quantile,
     "agg_percentile": agg_percentile,
     "agg_pivot": agg_pivot,
     "agg_hash_group": agg_hash_group,

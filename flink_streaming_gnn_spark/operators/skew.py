@@ -64,7 +64,43 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"agg_salted_skew": agg_salted_skew}
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-replicate join for hot-key JOIN skew — the rewrite you reach
+    for when the skewed side is too big for AQE's in-partition splitting
+    and the other side can't be broadcast whole: the fact side gets a
+    deterministic salt in [0, N), the dimension side is replicated N× (one
+    copy per salt via a zero-shuffle sequence+explode), and the join runs
+    on (key, salt) so each hot key fans across N reducers.
+
+    Fixture shape: per-returnflag price stats (3 hot keys over the whole
+    fact table) joined back to score each row's deviation, rolled up per
+    (flag, status). Salting is result-preserving, so the DuckDB twin is the
+    plain join — a hash match proves the rewrite changes the physical
+    fan-out and nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("flag_avg")
+    )
+    dim_salted = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    fact = salted(li, "l_orderkey")
+    return (
+        fact.join(dim_salted, ["l_returnflag", "_salt"])
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.avg(F.abs(F.col("l_extendedprice") - F.col("flag_avg"))), 4).alias(
+                "avg_abs_dev"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "agg_salted_skew": agg_salted_skew,
+    "join_salted_skew": join_salted_skew,
+}
 
 ORACLE = {
     "agg_salted_skew": """
@@ -74,5 +110,16 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "join_salted_skew": """
+        WITH dim AS (
+            SELECT l_returnflag, avg(l_extendedprice) AS flag_avg
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT li.l_returnflag, li.l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(avg(abs(li.l_extendedprice - dim.flag_avg)), 4) AS avg_abs_dev
+        FROM lineitem li JOIN dim USING (l_returnflag)
+        GROUP BY li.l_returnflag, li.l_linestatus
     """,
 }

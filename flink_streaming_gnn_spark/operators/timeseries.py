@@ -68,9 +68,52 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample with forward fill (LOCF) — the timeseries
+    densification every telemetry/feature pipeline needs before models see
+    the data: per user, one row per calendar day of the user's own
+    [first, last] span, days with no events carried forward from the last
+    observed daily average.
+
+    Plan shape (scale posture): one hash agg to daily grain (the only
+    pass over raw events), a per-user span agg that reuses the user_id
+    partitioning, a zero-shuffle calendar explode (``sequence(d0, d1,
+    1 day)`` — output bounded by span length, not event count), a left
+    join back on (user, day), and one window for the forward fill. Raw
+    events are touched exactly once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("day_avg"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    filled = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(w).alias("locf_avg"),
+    )
+
+
 QUERIES = {
     "rollup_hypertable_events": rollup_hypertable_events,
     "cdc_latest_snapshot": cdc_latest_snapshot,
+    "ts_gapfill_resample": ts_gapfill_resample,
 }
 
 ORACLE = {
@@ -98,5 +141,33 @@ ORACLE = {
                event_type AS last_type,
                value AS last_value
         FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "ts_gapfill_resample": """
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   count(*) AS n, round(avg(value), 6) AS day_avg
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        ),
+        span AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+        ),
+        cal AS (
+            SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        ),
+        filled AS (
+            SELECT c.user_id, c.day,
+                   coalesce(d.n, 0) AS n_events, d.day_avg
+            FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+        )
+        SELECT user_id,
+               strftime(day, '%Y-%m-%d') AS day,
+               CAST(n_events AS BIGINT) AS n_events,
+               day_avg,
+               last_value(day_avg IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_avg
+        FROM filled
     """,
 }

@@ -30,9 +30,12 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.linkpred",
     "flink_streaming_gnn_spark.graph.kcore",
     "flink_streaming_gnn_spark.operators.timeseries",
+    "flink_streaming_gnn_spark.operators.analytics",
     "flink_streaming_gnn_spark.streaming.joins",
     "flink_streaming_gnn_spark.llm.curation",
     "flink_streaming_gnn_spark.llm.pipeline",
+    "flink_streaming_gnn_spark.graph.bfs",
+    "flink_streaming_gnn_spark.graph.lpa",
     "flink_streaming_gnn_spark.graph.components",
     "flink_streaming_gnn_spark.graph.pagerank",
     "flink_streaming_gnn_spark.graph.ops",

@@ -97,3 +97,21 @@ def test_multimodal_decode_contract(spark):
         pdf.sort_values("doc_id").reset_index(drop=True),
         pdf2.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """PQ 8×16 ADC top-20 vs exact brute force. 64-dim unclustered
+    synthetic vectors are PQ's worst case, so the bound is loose — the
+    assertion is that quantized scoring ranks real neighbors far above
+    chance (blind top-20 of ~500 candidates ≈ 0.04)."""
+    from flink_streaming_gnn_spark.llm.simsearch import simsearch_pq
+
+    exact = simsearch_cosine_knn(spark, SF_ORACLE).toPandas()
+    approx = simsearch_pq(spark, SF_ORACLE).toPandas()
+    exact_sets = exact.groupby("probe_id").cand_id.apply(set)
+    approx_sets = approx.groupby("probe_id").cand_id.apply(set)
+    recalls = [
+        len(exact_sets[p] & approx_sets.get(p, set())) / TOP_K for p in exact_sets.index
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall > 0.25, f"PQ mean recall too low: {mean_recall:.2f}"

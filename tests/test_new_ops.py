@@ -183,3 +183,180 @@ def test_cdc_snapshot_matches_pandas(spark):
     assert len(merged) == len(want)
     assert (merged.last_type == merged.event_type).all()
     assert np.allclose(merged.last_value, merged.value)
+
+
+def test_bfs_levels_matches_python_bfs(spark):
+    from collections import deque
+
+    from flink_streaming_gnn_spark.graph.bfs import MAX_HOPS, graph_bfs_levels
+
+    edges = {
+        (int(r.src), int(r.dst))
+        for r in derive_edges(spark, SF_SMOKE).select("src", "dst").distinct().collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for c, s in edges:
+        a, b = 2 * c, 2 * s + 1
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(v for v in adj if v % 100 == 0)
+    dist = {v: 0 for v in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= MAX_HOPS:
+            continue
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    got = {int(r.v): int(r.level) for r in graph_bfs_levels(spark, SF_SMOKE).collect()}
+    assert got == dist
+
+
+def test_dedup_cluster_canonical_properties(spark):
+    from flink_streaming_gnn_spark.llm.dedup import dedup_cluster_canonical
+
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas()
+    got = dedup_cluster_canonical(spark, SF_SMOKE).toPandas()
+    # total mapping: one row per doc
+    assert sorted(got.doc_id) == sorted(docs.doc_id)
+    # survivor flag is exactly the fixpoint condition
+    assert (got.is_survivor == (got.doc_id == got.canonical_id)).all()
+    # canonical is the min doc_id of its cluster
+    mins = got.groupby("canonical_id").doc_id.min()
+    assert (mins.index == mins.values).all()
+    # exact duplicate texts always land in the same cluster
+    canon = dict(zip(got.doc_id, got.canonical_id))
+    for _, grp in docs.groupby("text"):
+        if len(grp) > 1:
+            assert len({canon[d] for d in grp.doc_id}) == 1
+
+
+def test_approx_quantile_rank_error_bound(spark):
+    from flink_streaming_gnn_spark.operators.aggregates import agg_approx_quantile
+
+    ev = load_table(spark, SF_SMOKE, "events").toPandas()
+    got = agg_approx_quantile(spark, SF_SMOKE).toPandas()
+    for r in got.itertuples():
+        vals = np.sort(ev[ev.event_type == r.event_type].value.values)
+        n = len(vals)
+        for q, a in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            # GK sketch with accuracy 10000 on n<=1000 values: rank error
+            # < n/10000 < 1, i.e. the returned value is an exact element at
+            # the target rank (up to the round(4) in the operator)
+            rank = np.searchsorted(vals, a, side="left")
+            assert abs(rank - q * n) <= max(2, 0.01 * n)
+
+
+def test_ngram_lm_score_matches_python(spark):
+    from collections import Counter
+
+    from flink_streaming_gnn_spark.llm.textstats import text_ngram_lm_score
+
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas()
+    heads: Counter = Counter()
+    bigrams: Counter = Counter()
+    doc_bgs = {}
+    for r in docs.itertuples():
+        w = r.text.split(" ")
+        if len(w) < 2:
+            continue
+        bg = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        doc_bgs[int(r.doc_id)] = bg
+        for h, t in bg:
+            heads[h] += 1
+            bigrams[(h, t)] += 1
+    got = text_ngram_lm_score(spark, SF_SMOKE).toPandas()
+    assert sorted(got.doc_id) == sorted(doc_bgs)
+    for r in got.itertuples():
+        bg = doc_bgs[int(r.doc_id)]
+        avg = round(float(np.mean([np.log(bigrams[p] / heads[p[0]]) for p in bg])), 6)
+        assert int(r.n_bigrams) == len(bg)
+        assert abs(r.avg_logp - avg) < 1e-9
+        assert abs(r.ppl - round(float(np.exp(-avg)), 4)) < 1e-9
+
+
+def test_gapfill_resample_properties(spark):
+    from flink_streaming_gnn_spark.operators.timeseries import ts_gapfill_resample
+
+    got = ts_gapfill_resample(spark, SF_SMOKE).toPandas()
+    got["day"] = pd.to_datetime(got.day)
+    for _, grp in got.groupby("user_id"):
+        grp = grp.sort_values("day").reset_index(drop=True)
+        # calendar is contiguous across the user's span
+        assert (grp.day.diff().dropna() == pd.Timedelta(days=1)).all()
+        # span endpoints are observed days
+        assert grp.iloc[0].n_events > 0 and grp.iloc[-1].n_events > 0
+        # gap rows carry no same-day average; locf is always defined and
+        # equals the last observed day's average
+        assert grp[grp.n_events == 0].day_avg.isna().all()
+        assert grp.locf_avg.notna().all()
+        assert (grp.locf_avg == grp.day_avg.ffill()).all()
+
+
+def test_salted_join_matches_plain(spark):
+    from flink_streaming_gnn_spark.operators.skew import join_salted_skew
+
+    li = load_table(spark, SF_SMOKE, "lineitem").toPandas()
+    flag_avg = li.groupby("l_returnflag").l_extendedprice.mean()
+    li = li.assign(dev=(li.l_extendedprice - li.l_returnflag.map(flag_avg)).abs())
+    want = (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .agg(n_rows=("dev", "size"), avg_abs_dev=("dev", "mean"))
+        .reset_index()
+    )
+    got = join_salted_skew(spark, SF_SMOKE).toPandas()
+    m = got.merge(want, on=["l_returnflag", "l_linestatus"], suffixes=("", "_w"))
+    assert len(m) == len(want) == len(got)
+    assert (m.n_rows == m.n_rows_w).all()
+    assert np.allclose(m.avg_abs_dev, m.avg_abs_dev_w.round(4))
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    from flink_streaming_gnn_spark.graph.linkpred import graph_adamic_adar
+
+    edges = {
+        (int(r.src), int(r.dst))
+        for r in derive_edges(spark, SF_SMOKE).select("src", "dst").distinct().collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    cdeg: dict[int, int] = {}
+    for c, s in edges:
+        nbrs.setdefault(s, set()).add(c)
+        cdeg[c] = cdeg.get(c, 0) + 1
+    got = graph_adamic_adar(spark, SF_SMOKE).toPandas()
+    for r in got.itertuples():
+        shared = nbrs[int(r.a)] & nbrs[int(r.b)]
+        assert int(r.common) == len(shared)
+        aa = sum(1.0 / np.log(cdeg[c]) for c in shared)
+        assert abs(r.aa - round(aa, 6)) < 1e-9
+
+
+def test_label_propagation_matches_python(spark):
+    from collections import Counter
+
+    from flink_streaming_gnn_spark.graph.lpa import ROUNDS, graph_label_propagation
+
+    edges = {
+        (int(r.src), int(r.dst))
+        for r in derive_edges(spark, SF_SMOKE).select("src", "dst").distinct().collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for c, s in edges:
+        a, b = 2 * c, 2 * s + 1
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(ROUNDS):
+        new = {}
+        for v in adj:
+            votes = Counter(lbl[n] for n in adj[v])
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lbl = new
+    want = Counter(lbl.values())
+    got = graph_label_propagation(spark, SF_SMOKE).toPandas()
+    for r in got.itertuples():
+        assert want[int(r.community)] == int(r.n_vertices)
+    assert {int(c) for c in got.community} == {c for c, n in want.items() if n >= 2}

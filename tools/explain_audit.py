@@ -106,6 +106,46 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "cdc_latest_snapshot": ([r"WindowGroupLimit"], [r"Join"]),
     # PII scrub is a map-only pass: zero exchanges
     "text_pii_redact": ([], [r"Exchange", r"Join"]),
+    # gap-fill: calendar explode (Generate) + one fill window; raw events
+    # scanned once, never cross-joined against the calendar
+    "ts_gapfill_resample": (
+        [r"Window", r"Generate", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # salted join: dim replicated via zero-shuffle Generate; the join must
+    # stay an equi-join on (key, salt)
+    "join_salted_skew": (
+        [r"Generate", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # bigram LM: pure JVM explode+agg+join — Python anywhere means the
+    # count joins fell off the codegen path
+    "text_ngram_lm_score": (
+        [r"Generate", r"HashAggregate"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # corr/covar/stddev: single agg pass with map-side partials
+    "agg_corr_covar": ([r"HashAggregate", r"partial_corr"], [r"Join"]),
+    # distribution windows: month filter must reach the parquet scan
+    "win_distribution": (
+        [r"Window", r"PushedFilters: \[.*o_orderdate"],
+        [r"Join"],
+    ),
+    # funnel: conditional-min agg + global rollup, no join anywhere
+    "funnel_conversion": ([r"HashAggregate"], [r"Join", r"EvalPython"]),
+    "cohort_retention": ([r"HashAggregate"], [r"CartesianProduct", r"EvalPython"]),
+    # Adamic-Adar: wedge equi-join + TopK (TakeOrdered), never a cross join
+    "graph_adamic_adar": (
+        [r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # PQ: Arrow-batched encode+score over the scan (probes in closure, no
+    # join), per-probe top-k pushed down
+    "simsearch_pq": (
+        [r"MapInPandas", r"WindowGroupLimit"],
+        [r"CartesianProduct", r"Join"],
+    ),
+    "agg_approx_quantile": ([r"HashAggregate"], [r"Join"]),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
