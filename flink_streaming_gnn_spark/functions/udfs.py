@@ -86,11 +86,45 @@ def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_python_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Spark 4 Python UDTF (@udtf + LATERAL): chunk each document
+    into 10-token windows, one output row per chunk. This is the
+    API-surface twin of udtf_explode_like — for production chunking the
+    pure-JVM sequence/explode path (llm/chunking.py) is the hot path; a
+    Python UDTF earns its place when the per-row logic genuinely can't be
+    expressed in expressions (external tokenizers, stateful parsers).
+    Class defined inside the callable (pickle-by-value — survives
+    foreign-cwd drivers)."""
+    from pyspark.sql.functions import udtf
+
+    chunk_sz = 10
+
+    @udtf(returnType="pos bigint, chunk string, n_toks bigint")
+    class DocChunker:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), chunk_sz):
+                part = toks[i : i + chunk_sz]
+                yield (i // chunk_sz + 1, " ".join(part), len(part))
+
+    spark.udtf.register("doc_chunker", DocChunker)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("docs_udtf_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.pos, c.chunk, c.n_toks
+        FROM docs_udtf_in d, LATERAL doc_chunker(d.text) c
+        """
+    )
+
+
 QUERIES = {
     "udf_scalar_pandas": udf_scalar_pandas,
     "udaf_grouped_agg": udaf_grouped_agg,
     "apply_in_pandas": apply_in_pandas,
     "udtf_explode_like": udtf_explode_like,
+    "udtf_python_chunks": udtf_python_chunks,
 }
 
 ORACLE = {
@@ -118,5 +152,21 @@ ORACLE = {
         FROM documents,
              LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS pos)
         WHERE doc_id < 50
+    """,
+    "udtf_python_chunks": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE doc_id < 50
+        ),
+        p AS (
+            SELECT doc_id, unnest(generate_series(1, (len(w) + 9) // 10)) AS pos, w
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(pos AS BIGINT) AS pos,
+               array_to_string(w[(pos - 1) * 10 + 1 : least(pos * 10, len(w))], ' ')
+                   AS chunk,
+               CAST(least(pos * 10, len(w)) - (pos - 1) * 10 AS BIGINT) AS n_toks
+        FROM p
     """,
 }

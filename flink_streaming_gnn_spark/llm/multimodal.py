@@ -127,14 +127,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_MS = 30_000  # 30 s audio windows
+HOP_MS = 25_000  # 5 s overlap
+
+
+def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic audio segmentation plan: per-asset duration (derived
+    from doc_id; a real pipeline reads the container metadata struct) cut
+    into 30 s windows with 5 s overlap — one row per (asset, chunk) with
+    start/end ms and the sample span at 16 kHz. The chunk explode is the
+    exact shape the streaming-ASR / audio-embedding mapInPandas consumes
+    (multimodal_decode_stub's contract); zero shuffle, all integer
+    arithmetic."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn(
+        "duration_ms", ((5 + F.pmod("doc_id", F.lit(120))) * 1000).cast("long")
+    )
+    n_chunks = F.expr(
+        f"greatest(1, (duration_ms - {CHUNK_MS} + {HOP_MS} - 1) div {HOP_MS} + 1)"
+    )
+    chunks = d.select(
+        "doc_id",
+        "duration_ms",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk"),
+    )
+    start = F.col("chunk") * HOP_MS
+    end = F.least(start + CHUNK_MS, F.col("duration_ms"))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk").cast("long").alias("chunk"),
+        start.cast("long").alias("start_ms"),
+        end.cast("long").alias("end_ms"),
+        (start * 16).cast("long").alias("start_sample"),
+        (end * 16).cast("long").alias("end_sample"),
+    )
+
+
 QUERIES = {
     "multimodal_cols": multimodal_cols,
+    "multimodal_audio_chunk": multimodal_audio_chunk,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_decode_stub": multimodal_decode_stub,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
+    "multimodal_audio_chunk": f"""
+        WITH meta AS (
+            SELECT doc_id, (5 + doc_id % 120) * 1000 AS duration_ms
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, duration_ms,
+                   greatest(1, (duration_ms - {CHUNK_MS} + {HOP_MS} - 1)
+                               // {HOP_MS} + 1) AS n_chunks
+            FROM meta
+        )
+        SELECT doc_id,
+               CAST(c.chunk AS BIGINT) AS chunk,
+               CAST(c.chunk * {HOP_MS} AS BIGINT) AS start_ms,
+               CAST(least(c.chunk * {HOP_MS} + {CHUNK_MS}, duration_ms) AS BIGINT)
+                   AS end_ms,
+               CAST(c.chunk * {HOP_MS} * 16 AS BIGINT) AS start_sample,
+               CAST(least(c.chunk * {HOP_MS} + {CHUNK_MS}, duration_ms) * 16 AS BIGINT)
+                   AS end_sample
+        FROM n, LATERAL (SELECT unnest(generate_series(0, CAST(n_chunks - 1 AS INT)))
+                         AS chunk) c
+    """,
     "multimodal_cols": """
         SELECT doc_id, lang, source,
                CAST(n_chars AS BIGINT) AS n_chars,

@@ -293,9 +293,33 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids, fully relational: posexplode the
+    vector column to (label, dim, value) and hash-aggregate the mean —
+    the shuffle carries scalars keyed by (label, dim), so centroid
+    computation over 100 TB of vectors is an ordinary two-level aggregate
+    (map-side partials per dimension), no Python anywhere. This is the
+    training side of dedup_embedding_cosine's quantizer cells and the
+    nearest-class-mean classifier baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mean_val"),
+             F.count("*").cast("long").alias("n_vecs"))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            "mean_val",
+            "n_vecs",
+        )
+    )
+
+
 QUERIES = {
     "simsearch_cosine_knn": simsearch_cosine_knn,
     "simsearch_pq": simsearch_pq,
+    "emb_centroid_per_label": emb_centroid_per_label,
     "vector_knn_cosine": simsearch_cosine_knn,  # BASELINE.md headline name
     "simsearch_ivf": simsearch_ivf,
     "simsearch_lsh": simsearch_lsh,
@@ -327,5 +351,19 @@ _KNN_SQL = f"""
 ORACLE = {
     "simsearch_cosine_knn": _KNN_SQL,
     "vector_knn_cosine": _KNN_SQL,
+    "emb_centroid_per_label": """
+        WITH pos AS (
+            SELECT label,
+                   unnest(generate_series(1, len(embedding))) AS dim,
+                   embedding
+            FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(dim AS BIGINT) AS dim,
+               round(avg(CAST(embedding[dim] AS DOUBLE)), 6) AS mean_val,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM pos
+        GROUP BY label, dim
+    """,
     # simsearch_ivf / simsearch_lsh: rows-only (approximate; recall pinned in tests)
 }

@@ -193,8 +193,34 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by TF-IDF
+    (deterministic tiebreak on token). Same two-shuffle tf/df pipeline as
+    text_tfidf, finished with one ranking window (WindowGroupLimit keeps
+    3 rows per doc before the merge)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(maybe_broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("rn").cast("long").alias("rank"), "token", "tfidf")
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_keyword_extract": text_keyword_extract,
     "text_tokenize_tf": text_stats,  # BASELINE.md headline name
     "text_tfidf": text_tfidf,
     "text_lang_id": text_lang_id,
@@ -300,6 +326,30 @@ ORACLE = {
                             string_split(text, ' ')[i + 3] || ' ' ||
                             string_split(text, ' ')[i + 4]))) AS winnow_min
         FROM documents
+    """,
+    "text_keyword_extract": """
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df), 6)
+                       AS tfidf
+            FROM tf JOIN df USING (token)
+        )
+        SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, tfidf
+        FROM (
+            SELECT doc_id, token, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token) AS rn
+            FROM scored
+        ) WHERE rn <= 3
     """,
     "text_ngram_lm_score": """
         WITH t AS (

@@ -72,6 +72,30 @@ def win_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_frame_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-customer trailing-7-day order
+    spend. Spark's rangeBetween needs a numeric ordering column, so the
+    frame rides the day number (datediff from a fixed epoch) — value-wise
+    identical to DuckDB's ``RANGE BETWEEN INTERVAL 6 DAYS PRECEDING``
+    because order dates are day-aligned. Range frames are tie-safe (all
+    peers of a day are always in-frame together), so no extra tiebreak
+    column is needed for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1995-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d_spend"),
+        F.count("*").over(w).cast("long").alias("trailing_7d_orders"),
+    )
+
+
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer (BASELINE ``window_topk_per_group``).
     Ranking window + filter — Spark pushes the rank<=k filter into the
@@ -96,6 +120,7 @@ QUERIES = {
     "win_ranking": win_ranking,
     "win_analytic": win_analytic,
     "win_frame_running": win_frame_running,
+    "win_frame_range_interval": win_frame_range_interval,
     "topk_per_group": topk_per_group,
     "window_topk_per_group": topk_per_group,  # BASELINE.md headline name
 }
@@ -111,6 +136,15 @@ _TOPK_SQL = """
 """
 
 ORACLE = {
+    "win_frame_range_interval": """
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               round(sum(o_totalprice) OVER w, 2) AS trailing_7d_spend,
+               CAST(count(*) OVER w AS BIGINT) AS trailing_7d_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
     "win_ranking": """
         SELECT o_orderkey, o_custkey, o_totalprice AS total_price,
                CAST(row_number() OVER w AS BIGINT) AS rn,

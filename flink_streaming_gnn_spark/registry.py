@@ -38,6 +38,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.lpa",
     "flink_streaming_gnn_spark.graph.components",
     "flink_streaming_gnn_spark.graph.pagerank",
+    "flink_streaming_gnn_spark.graph.hits",
     "flink_streaming_gnn_spark.graph.ops",
     "flink_streaming_gnn_spark.graph.sage",
     "flink_streaming_gnn_spark.graph.hdrf",

@@ -24,8 +24,8 @@ DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars lon
 
 
 def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Write the documents table once as ``fmt`` (csv/json), cached in tmp
-    keyed on fixture content, atomically published."""
+    """Write the documents table once as ``fmt`` (csv/json/orc), cached in
+    tmp keyed on fixture content, atomically published."""
     src = table_path(sf_dir, "documents")
     try:
         st = os.stat(src)
@@ -39,6 +39,8 @@ def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         writer = load_table(spark, sf_dir, "documents").coalesce(1).write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", "true").option("quoteAll", "true").csv(staging)
+        elif fmt == "orc":
+            writer.orc(staging)
         else:
             writer.json(staging)
         try:
@@ -71,9 +73,17 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → ORC → ORC scan (the other columnar format Spark ships
+    natively; same pushdown/pruning machinery as parquet)."""
+    path = _roundtrip_dir(spark, sf_dir, "orc")
+    return spark.read.orc(path).select("doc_id", "text", "lang", "source", "n_chars")
+
+
 QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
+    "source_orc_roundtrip": source_orc_roundtrip,
 }
 
 _DOCS_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
@@ -81,4 +91,5 @@ _DOCS_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 ORACLE = {
     "source_csv_roundtrip": _DOCS_SQL,
     "source_jsonl_roundtrip": _DOCS_SQL,
+    "source_orc_roundtrip": _DOCS_SQL,
 }

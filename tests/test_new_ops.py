@@ -360,3 +360,39 @@ def test_label_propagation_matches_python(spark):
     for r in got.itertuples():
         assert want[int(r.community)] == int(r.n_vertices)
     assert {int(c) for c in got.community} == {c for c, n in want.items() if n >= 2}
+
+
+def test_hits_matches_numpy(spark):
+    from flink_streaming_gnn_spark.graph.hits import ROUNDS, graph_hits
+
+    edges = sorted(
+        {
+            (int(r.src), int(r.dst))
+            for r in derive_edges(spark, SF_SMOKE).select("src", "dst").distinct().collect()
+        }
+    )
+    custs = sorted({c for c, _ in edges})
+    supps = sorted({s for _, s in edges})
+    ci = {c: i for i, c in enumerate(custs)}
+    si = {s: i for i, s in enumerate(supps)}
+    A = np.zeros((len(custs), len(supps)))
+    for c, s in edges:
+        A[ci[c], si[s]] = 1.0
+    h = np.ones(len(custs))
+    for _ in range(ROUNDS):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    got = graph_hits(spark, SF_SMOKE).toPandas()
+    hub = got[got.side == "hub"]
+    auth = got[got.side == "authority"]
+    for r in hub.itertuples():
+        assert abs(r.score - round(float(h[ci[int(r.id)]]), 6)) < 2e-6
+    for r in auth.itertuples():
+        assert abs(r.score - round(float(a[si[int(r.id)]]), 6)) < 2e-6
+    # ranks are dense and ordered by score desc within each side
+    for grp in (hub, auth):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        ordered = grp.sort_values("rank").score.values
+        assert all(ordered[i] >= ordered[i + 1] - 1e-12 for i in range(len(ordered) - 1))

@@ -181,3 +181,31 @@ def test_stream_sliding_equals_batch(spark):
     ).toPandas()
     batch = plan(load_table(spark, SF_SMOKE, "events")).toPandas()
     assert not compare_frames(streamed, batch, "sliding batch≡stream")
+
+
+def test_cdc_apply_foreachbatch_equals_batch_snapshot(spark):
+    """Log-structured CDC apply (foreachBatch append + merge-on-read) over
+    the multi-batch replay must equal the batch cdc_latest_snapshot — and
+    re-running the drained stream against the same checkpoint must not
+    duplicate the log (exactly-once per epoch)."""
+    import tempfile
+
+    from flink_streaming_gnn_spark.operators.timeseries import cdc_latest_snapshot
+    from flink_streaming_gnn_spark.streaming.cdc import read_snapshot, run_cdc_apply
+    from tests.conftest import SF_SMOKE
+
+    with tempfile.TemporaryDirectory() as root:
+        log_dir = f"{root}/log"
+        ckpt = f"{root}/ckpt"
+        run_cdc_apply(spark, SF_SMOKE, log_dir, ckpt)
+        got = read_snapshot(spark, log_dir).toPandas()
+        n_log = spark.read.parquet(log_dir).count()
+        # drained stream + same checkpoint: no new batches, no new rows
+        run_cdc_apply(spark, SF_SMOKE, log_dir, ckpt)
+        assert spark.read.parquet(log_dir).count() == n_log
+        want = cdc_latest_snapshot(spark, SF_SMOKE).toPandas()
+    m = got.merge(want, on="user_id", suffixes=("", "_w"))
+    assert len(m) == len(want) == len(got)
+    assert (m.last_type == m.last_type_w).all()
+    assert (m.last_seen == m.last_seen_w).all()
+    assert (m.last_value == m.last_value_w).all()

@@ -2,7 +2,7 @@
 foreign cwd, smoke-runs entry(), then runs every queries() entry at sf0.01
 and compares against oracle_sql() via DuckDB (count + schema + sorted-value
 hash)."""
-import hashlib, importlib.util, sys
+import hashlib, importlib.util, sys, time
 import duckdb
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
@@ -31,10 +31,14 @@ def canon(pdf):
 
 qs, osql = mod.queries(), mod.oracle_sql()
 n_match = n_rows_only = n_fail = 0
+slow = []
 for key in sorted(qs):
+    t0 = time.perf_counter()
     sdf = qs[key](spark, "/root/testdata/sf0.01").toPandas()
+    dt = time.perf_counter() - t0
+    slow.append((dt, key))
     if key not in osql:
-        print(f"ROWS-ONLY {key}: {len(sdf)} rows"); n_rows_only += 1; continue
+        print(f"ROWS-ONLY {key}: {len(sdf)} rows [{dt:.1f}s]"); n_rows_only += 1; continue
     odf = con.execute(osql[key]).fetchdf()
     sc, sh, sn = canon(sdf); oc, oh, on = canon(odf)
     ok = sc == oc and sn == on and sh == oh
@@ -43,3 +47,4 @@ for key in sorted(qs):
         n_fail += 1
         print(f"FAIL {key}: cols {sc==oc} n {sn}vs{on} hash {sh==oh}")
 print(f"RESULT: {n_match} hash-match, {n_rows_only} rows-only, {n_fail} FAIL of {len(qs)}")
+print("slowest:", [f"{k}={t:.1f}s" for t, k in sorted(slow, reverse=True)[:10]])
