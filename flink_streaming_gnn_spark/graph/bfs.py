@@ -38,39 +38,35 @@ def _undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex minimum hop distance from the seed set (≤ MAX_HOPS)."""
-    edges = _undirected(spark, sf_dir).persist()
+    edges = _undirected(spark, sf_dir).localCheckpoint()
     seeds = (
         edges.select("a")
         .distinct()
         .filter((F.col("a") % 100) == 0)  # a = 2c even ⇒ c % 50 == 0
         .select(F.col("a").alias("v"))
     )
-    levels = seeds.withColumn("level", F.lit(0)).persist()
-    frontier = seeds
-    try:
-        for hop in range(1, MAX_HOPS + 1):
-            nxt = (
-                frontier.join(edges, frontier.v == edges.a)
-                .select(F.col("b").alias("v"))
-                .distinct()
-                .join(levels, "v", "left_anti")
-                .withColumn("level", F.lit(hop))
-                .persist()
-            )
-            if nxt.count() == 0:
-                nxt.unpersist()
-                break
-            new_levels = levels.union(nxt).persist()
-            levels.unpersist()
-            levels = new_levels
-            frontier = nxt
-        out = levels.select(
-            F.col("v").cast("long").alias("v"), F.col("level").cast("long").alias("level")
+    # eager localCheckpoint per hop (not persist): levels is referenced
+    # twice per round (visited anti-join + union), so checkpointing keeps
+    # Catalyst's per-round analysis O(1) — see graph/components.py
+    levels = seeds.withColumn("level", F.lit(0)).localCheckpoint()
+    frontier = levels
+    for hop in range(1, MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.v == edges.a)
+            .select(F.col("b").alias("v"))
+            .distinct()
+            .join(levels, "v", "left_anti")
+            .withColumn("level", F.lit(hop))
+            .localCheckpoint()
         )
-        rows = out.collect()
-    finally:
-        edges.unpersist()
-        levels.unpersist()
+        if nxt.count() == 0:
+            break
+        levels = levels.union(nxt).localCheckpoint()
+        frontier = nxt
+    out = levels.select(
+        F.col("v").cast("long").alias("v"), F.col("level").cast("long").alias("level")
+    )
+    rows = out.collect()
     return spark.createDataFrame(rows, schema="v long, level long")
 
 

@@ -44,43 +44,45 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex component labels by hash-min propagation (driver loop
-    with an O(1)-size convergence read per round)."""
-    edges = _undirected_edges(spark, sf_dir).persist()
+    with an O(1)-size convergence read per round).
+
+    Each round ends in an eager ``localCheckpoint``: every round's plan
+    references the previous labels frame TWICE (the neighbor-min join and
+    the convergence anti-comparison), and plan-tree re-analysis doubles per
+    shared reference — persist caches data but keeps the logical plan, so
+    a persist-only loop pays 2^round Catalyst analysis by late rounds
+    (measured pathologically on the HITS loop, graph/hits.py). Checkpoint
+    truncates the plan to a leaf; analysis stays O(1) per round."""
+    edges = _undirected_edges(spark, sf_dir).localCheckpoint()
     labels = (
         edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
-    ).persist()
-    try:
-        for _ in range(MAX_ROUNDS):
-            nbr_min = (
-                edges.join(labels, edges.b == labels.v)
-                .groupBy("a")
-                .agg(F.min("lbl").alias("nbr_lbl"))
+    ).localCheckpoint()
+    for _ in range(MAX_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.a, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
             )
-            new_labels = (
-                labels.join(nbr_min, labels.v == nbr_min.a, "left")
-                .select(
-                    "v",
-                    F.least(
-                        F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
-                    ).alias("lbl"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "v")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        # returned persisted: downstream consumers read the converged
-        # labels without replaying the iterative lineage
-        return labels
-    finally:
-        edges.unpersist()
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -211,43 +211,40 @@ def _cc_over_pairs(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
     )
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("u").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    try:
-        for _ in range(max_rounds):
-            nbr_min = (
-                edges.join(labels, edges.v == labels.node)
-                .groupBy("u")
-                .agg(F.min("lbl").alias("nbr_lbl"))
+    # per-round eager localCheckpoint (not persist): the plan references
+    # the previous labels twice per round, and checkpointing truncates the
+    # analyzed tree so Catalyst cost stays O(1) per round (see
+    # graph/components.py docstring for the measured failure mode)
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            new_labels = (
-                labels.join(nbr_min, labels.node == nbr_min.u, "left")
-                .select(
-                    "node",
-                    F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        out = labels.select("node", F.col("lbl").alias("canonical")).persist()
-        out.count()  # materialize so the loop-carried cache can release now
-        labels.unpersist()
-        return out
-    finally:
-        edges.unpersist()
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("canonical"))
 
 
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
