@@ -34,7 +34,27 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"fn_math": fn_math}
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family over event ids: and/or/xor, shifts, bit
+    extraction and popcount — the primitives under hash partitioners,
+    bloom filters and bitmap indexes, all JVM expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(uid).cast("long").alias("band"),
+        eid.bitwiseOR(uid).cast("long").alias("bor"),
+        eid.bitwiseXOR(uid).cast("long").alias("bxor"),
+        F.shiftleft(eid, 3).cast("long").alias("shl3"),
+        F.shiftright(eid, 2).cast("long").alias("shr2"),
+        F.expr("bit_count(event_id)").cast("long").alias("popcount"),
+        F.expr("getbit(event_id, 0)").cast("long").alias("bit0"),
+        F.expr("~event_id").cast("long").alias("bnot"),
+    )
+
+
+QUERIES = {"fn_math": fn_math, "fn_bitwise": fn_bitwise}
 
 ORACLE = {
     "fn_math": """
@@ -53,5 +73,17 @@ ORACLE = {
                least(l_discount, l_tax) AS min_rate,
                CAST(sign(l_discount - l_tax) AS DOUBLE) AS rate_sign
         FROM lineitem
+    """,
+    "fn_bitwise": """
+        SELECT event_id,
+               CAST(event_id & user_id AS BIGINT) AS band,
+               CAST(event_id | user_id AS BIGINT) AS bor,
+               CAST(xor(event_id, user_id) AS BIGINT) AS bxor,
+               CAST(event_id << 3 AS BIGINT) AS shl3,
+               CAST(event_id >> 2 AS BIGINT) AS shr2,
+               CAST(bit_count(event_id) AS BIGINT) AS popcount,
+               CAST(event_id & 1 AS BIGINT) AS bit0,
+               CAST(~event_id AS BIGINT) AS bnot
+        FROM events
     """,
 }

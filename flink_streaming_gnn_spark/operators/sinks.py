@@ -45,9 +45,40 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"sink_parquet": sink_parquet_roundtrip}
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end: documents written hive-partitioned by
+    lang, read back with a lang predicate — at 100 TB this is the
+    difference between scanning one directory and scanning the corpus.
+    The plan must show ``PartitionFilters`` (asserted in
+    tools/explain_audit.py); the oracle is the same predicate on the
+    unpartitioned table, so a pruning bug that drops or duplicates
+    partitions cannot hash-match."""
+    d = load_table(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"docs_bylang_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.isdir(out_dir):
+        d.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    target = sorted(langs)[0]  # deterministic: lexicographically first lang
+    return back.filter(F.col("lang") == target).select(
+        "doc_id", "text", F.col("lang").cast("string").alias("lang"), "source", "n_chars"
+    )
+
+
+QUERIES = {
+    "sink_parquet": sink_parquet_roundtrip,
+    "scan_partition_pruning": scan_partition_pruning,
+}
 
 ORACLE = {
+    "scan_partition_pruning": """
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE lang = (SELECT min(lang) FROM documents)
+    """,
     "sink_parquet": """
         SELECT l_returnflag, l_linestatus,
                CAST(count(*) AS BIGINT) AS n_rows,

@@ -146,6 +146,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"Join"],
     ),
     "agg_approx_quantile": ([r"HashAggregate"], [r"Join"]),
+    # hive-partitioned scan: the lang predicate must prune partitions at
+    # planning time, not filter rows post-scan
+    "scan_partition_pruning": (
+        [r"PartitionFilters: \[.*lang"],
+        [r"Join", r"Exchange"],
+    ),
+    # bitwise family: map-only projection, zero exchanges
+    "fn_bitwise": ([], [r"Exchange", r"Join"]),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
