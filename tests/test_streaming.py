@@ -209,3 +209,28 @@ def test_cdc_apply_foreachbatch_equals_batch_snapshot(spark):
     assert (m.last_type == m.last_type_w).all()
     assert (m.last_seen == m.last_seen_w).all()
     assert (m.last_value == m.last_value_w).all()
+
+
+def test_windowed_topk_foreachbatch_equals_batch(spark):
+    """Streaming windowed top-k (foreachBatch complete-mode re-rank) must
+    equal the batch hourly top-k on the same fixture."""
+    import tempfile
+
+    import pandas as pd
+
+    from flink_streaming_gnn_spark.streaming.topk import (
+        batch_windowed_topk,
+        run_windowed_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    with tempfile.TemporaryDirectory() as root:
+        out = f"{root}/topk"
+        run_windowed_topk(spark, SF_SMOKE, out, f"{root}/ckpt")
+        got = spark.read.parquet(out).toPandas()
+    want = batch_windowed_topk(spark, SF_SMOKE).toPandas()
+    key = ["win_start", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["win_start", "user_id", "n_events", "rank"]],
+                                  want[["win_start", "user_id", "n_events", "rank"]])
