@@ -156,6 +156,33 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per-priority
+    concatenation of the month's order keys in key order — deterministic
+    because the collect is sorted before joining (collect_list alone is
+    partition-order dependent and would never hash-match)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-02-01")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias("keys_csv"),
+    )
+
+
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: every/any/count_if per returnflag —
+    single hash agg, all three are sums/ands of predicates (map-side
+    combinable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0
+    return li.groupBy("l_returnflag").agg(
+        F.every(disc).alias("all_discounted"),
+        F.some(disc).alias("any_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).cast("long").alias("n_bulk"),
+    )
+
+
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 per event_type via approx_percentile
     (Greenwald–Khanna / KLL-style mergeable sketch, accuracy 10000). The
@@ -179,6 +206,8 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "agg_approx_quantile": agg_approx_quantile,
+    "agg_string_agg": agg_string_agg,
+    "agg_boolean": agg_boolean,
     "agg_percentile": agg_percentile,
     "agg_pivot": agg_pivot,
     "agg_hash_group": agg_hash_group,
@@ -190,6 +219,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_string_agg": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+                   AS keys_csv
+        FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+        GROUP BY o_orderpriority
+    """,
+    "agg_boolean": """
+        SELECT l_returnflag,
+               bool_and(l_discount > 0) AS all_discounted,
+               bool_or(l_discount > 0) AS any_discounted,
+               CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "agg_pivot": """
         SELECT user_id,
                CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,

@@ -77,15 +77,48 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_EXISTS = """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > c.c_acctbal
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+          AND o2.o_totalprice > (
+              SELECT avg(o3.o_totalprice) FROM orders o3
+          )
+    )
+"""
+
+
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 SQL entry point exercising Catalyst's subquery decorrelation:
+    a correlated EXISTS (rewritten to a left-semi join), a correlated NOT
+    EXISTS with a nested scalar subquery (anti join + broadcast scalar) —
+    the query shapes users write verbatim. Runs through spark.sql() over
+    register_views; the oracle is the SAME SQL string, so both engines'
+    decorrelation must agree on semantics exactly."""
+    from flink_streaming_gnn_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_EXISTS)
+
+
 QUERIES = {
     "scan_parquet": scan_parquet,
     "scan_projection_pushdown": scan_projection_pushdown,
     "filter_pred": filter_pred,
     "project_compute": project_compute,
     "case_when": case_when,
+    "sql_correlated_exists": sql_correlated_exists,
 }
 
 ORACLE = {
+    "sql_correlated_exists": _SQL_EXISTS,
     "scan_parquet": "SELECT * FROM nation",
     "scan_projection_pushdown": "SELECT l_orderkey, l_quantity FROM lineitem",
     "filter_pred": """

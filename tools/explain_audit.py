@@ -154,6 +154,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # bitwise family: map-only projection, zero exchanges
     "fn_bitwise": ([], [r"Exchange", r"Join"]),
+    # correlated EXISTS/NOT EXISTS must decorrelate to semi/anti hash
+    # joins — a CartesianProduct or per-row subquery loop means Catalyst
+    # failed to rewrite
+    "sql_correlated_exists": (
+        [r"LeftSemi", r"LeftAnti"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
