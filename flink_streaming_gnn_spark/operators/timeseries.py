@@ -110,10 +110,46 @@ def ts_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling to daily grain per user: open/close = first/last
+    value by (ts, event_id), high/low = max/min — the classic telemetry /
+    market-data compaction. One shuffle on (user, day): the open/close
+    ranks and the min/max aggregate all ride the same partitioning
+    (windows first, then the group-by reuses the exchange)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = ev.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(w).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return marked.groupBy(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
 QUERIES = {
     "rollup_hypertable_events": rollup_hypertable_events,
     "cdc_latest_snapshot": cdc_latest_snapshot,
     "ts_gapfill_resample": ts_gapfill_resample,
+    "ts_downsample_ohlc": ts_downsample_ohlc,
 }
 
 ORACLE = {
@@ -169,5 +205,24 @@ ORACLE = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS locf_avg
         FROM filled
+    """,
+    "ts_downsample_ohlc": """
+        WITH marked AS (
+            SELECT user_id, date_trunc('day', ts) AS day, value,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT user_id,
+               strftime(day, '%Y-%m-%d') AS day,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM marked
+        GROUP BY user_id, day
     """,
 }
