@@ -34,7 +34,10 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     when the estimate is unavailable (e.g. some streaming sources)."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return int(stats.sizeInBytes().toString())
+        size = stats.sizeInBytes()
+        # Py4J converts scala.math.BigInt to a Python int directly; fall
+        # back to the string form for any bridge that hands back the object
+        return int(size) if isinstance(size, int) else int(size.toString())
     except Exception:
         return None
 

@@ -396,3 +396,19 @@ def test_hits_matches_numpy(spark):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
         ordered = grp.sort_values("rank").score.values
         assert all(ordered[i] >= ordered[i + 1] - 1e-12 for i in range(len(ordered) - 1))
+
+
+def test_maybe_broadcast_gates_on_estimate(spark):
+    """plans.hints.maybe_broadcast must hint small frames and leave large
+    estimates unhinted (the round-1 scale fix: a forced hint overrides
+    AQE demotion and OOMs at 100 TB)."""
+    from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
+
+    small = load_table(spark, SF_SMOKE, "nation")
+    hinted = maybe_broadcast(small)
+    plan = hinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan  # hint applied under the threshold
+    big = load_table(spark, SF_SMOKE, "lineitem")
+    unhinted = maybe_broadcast(big, max_bytes=1)  # force the over-threshold path
+    plan_big = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan_big  # engine keeps strategy freedom
