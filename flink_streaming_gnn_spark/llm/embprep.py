@@ -1,0 +1,106 @@
+"""Embedding preparation for large-scale ANN serving (the storage-side
+companions of ``llm/simsearch.py``): L2 normalization (cosine → dot) and
+per-vector int8 max-abs quantization (4× memory/IO cut — the standard
+first rung of the PQ/IVF compression ladder already modeled by
+``simsearch_pq``).
+
+Spark-first shape: both are zero-shuffle map-only projections over pure
+JVM higher-order array functions (``transform`` / ``aggregate``) — no
+Python, partitioning-invariant, and they compose under whole-stage
+codegen with whatever scan feeds them. Output is flattened to rounded
+scalar columns (norm/scale + leading elements) per the repo's oracle
+convention for tensor results.
+
+At 100 TB: map-only means these run at scan speed with no exchange; the
+quantized form is what the IVF/PQ indexes should persist (127/maxabs is
+exactly faiss's ScalarQuantizer QT_8bit_direct shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+NORM_DIMS = 4  # leading normalized elements exposed as columns
+QUANT_DIMS = 8  # leading quantized elements exposed as columns
+
+
+def _feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + leading normalized elements. Vectors are
+    non-degenerate by fixture construction (norm > 0)."""
+    d = _feat(spark, sf_dir).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    )
+    return d.select(
+        "vec_id",
+        F.round("norm", 4).alias("norm"),
+        *[
+            F.round(F.element_at("e", i) / F.col("norm"), 6).alias(f"n{i}")
+            for i in range(1, NORM_DIMS + 1)
+        ],
+    )
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-abs int8 quantization: scale = max|x|, q_i = round(127·x_i/scale);
+    output is (scale, leading codes) so the oracle pins both the scale
+    computation and the code arithmetic."""
+    d = _feat(spark, sf_dir).withColumn(
+        "scale",
+        F.array_max(F.transform("e", lambda x: F.abs(x))),
+    )
+    q = [
+        F.round(F.element_at("e", i) / F.col("scale") * 127).cast("long").alias(f"q{i}")
+        for i in range(1, QUANT_DIMS + 1)
+    ]
+    return d.select("vec_id", F.round("scale", 6).alias("scale"), *q)
+
+
+QUERIES = {
+    "emb_l2_normalize": emb_l2_normalize,
+    "emb_quantize_int8": emb_quantize_int8,
+}
+
+_NORM_COLS = ",\n               ".join(
+    f"round(e[{i}] / norm, 6) AS n{i}" for i in range(1, NORM_DIMS + 1)
+)
+_QUANT_COLS = ",\n               ".join(
+    f"CAST(round(e[{i}] / scale * 127) AS BIGINT) AS q{i}"
+    for i in range(1, QUANT_DIMS + 1)
+)
+
+ORACLE = {
+    "emb_l2_normalize": f"""
+        WITH d AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x))) AS norm
+            FROM embeddings
+        )
+        SELECT vec_id, round(norm, 4) AS norm,
+               {_NORM_COLS}
+        FROM d
+    """,
+    "emb_quantize_int8": f"""
+        WITH d AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) AS scale
+            FROM embeddings
+        )
+        SELECT vec_id, round(scale, 6) AS scale,
+               {_QUANT_COLS}
+        FROM d
+    """,
+}

@@ -24,6 +24,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 48 relational/join/agg/window/fn keys already driver-attested in round 1
 # take the back seat. Semantics are order-independent (keys are unique).
 _MODULES = (
+    "flink_streaming_gnn_spark.graph.temporal",
+    "flink_streaming_gnn_spark.graph.gcn",
+    "flink_streaming_gnn_spark.graph.walks",
+    "flink_streaming_gnn_spark.operators.reshape",
+    "flink_streaming_gnn_spark.operators.anomaly",
+    "flink_streaming_gnn_spark.llm.bm25",
+    "flink_streaming_gnn_spark.llm.embprep",
     "flink_streaming_gnn_spark.graph.sampling",
     "flink_streaming_gnn_spark.graph.attention",
     "flink_streaming_gnn_spark.graph.triangles",
