@@ -46,32 +46,52 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(
-    d: DataFrame, dist_threshold: float = 0.9, num_tables: int = 16
-) -> DataFrame:
-    """LSH-banded candidate pairs (doc_a < doc_b) over unigram token sets:
-    HashingTF binary features → MinHashLSH(seed) → approxSimilarityJoin.
-    This is THE candidate generator for every near-dup verify stage —
-    candidates come from an equi-join on band hashes (cost ∝ docs sharing
-    a bucket), never from a quadratic within-block pair join. ``d`` needs
-    (doc_id, text). Deterministic for a fixed dataset (seeded family)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+N_MINHASH = 16  # OR-ed single-row bands: P(miss) = (1-j)^16
 
-    toks = Tokenizer(inputCol="text", outputCol="toks_mh").transform(
-        d.select("doc_id", "text")
+
+def minhash_candidate_pairs(d: DataFrame) -> DataFrame:
+    """LSH-banded candidate pairs (doc_a < doc_b) over the SHINGLE sets the
+    verify stage scores — hand-rolled, 100% JVM (no pyspark.ml fit, no
+    sparse vectors): per doc, 16 min-hashes ``min_s xxhash64(k ':' s)`` in
+    ONE hash agg over the exploded shingles; candidates = self-equi-join on
+    any matching (band, signature). This is THE candidate generator for
+    every near-dup verify stage — cost ∝ docs sharing a bucket, never a
+    quadratic within-block pair join. ``d`` needs (doc_id, sh).
+
+    Minhashing the shingles (not unigrams) matters twice: the collision
+    probability equals the exact Jaccard the verify stage computes, and
+    shingle sets stay diverse even when the unigram vocabulary saturates
+    (every doc sharing most words would put the whole corpus in one
+    unigram bucket). With 16 OR-ed bands a true pair at j ≥ 0.5 is missed
+    with probability ≤ 2^-16; xxhash64 is seeded per band, so the result
+    is deterministic per dataset."""
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"m{k}")
+            for k in range(N_MINHASH)
+        ]
     )
-    tf = HashingTF(
-        inputCol="toks_mh", outputCol="features", numFeatures=1 << 18, binary=True
-    )
-    feats = tf.transform(toks)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42
-    )
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, dist_threshold, distCol="mh_dist")
-    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
-        F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetB.doc_id").alias("doc_b"),
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"m{k}").alias("sig")
+                    )
+                    for k in range(N_MINHASH)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.sig")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
 
@@ -82,11 +102,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 1 blocked on (lang, n_chars), which is quadratic in the hottest
     block and misses near-dups that differ in length; LSH candidates are
-    the 100 TB answer (VERDICT round 1, next-round #4). A pair with
-    trigram Jaccard ≥ 0.5 has unigram Jaccard well above it, so with 16
-    OR-ed hash tables the miss probability is ~(1-j)^16 < 1e-8 — and the
-    seeded family makes the result deterministic per dataset, so the
-    exact-SQL oracle (which verifies ALL pairs) still hash-matches."""
+    the 100 TB answer (VERDICT round 1, next-round #4). With 16 OR-ed
+    shingle-minhash bands a qualifying pair (j ≥ 0.5) is missed with
+    probability ≤ 2^-16, and the seeded hash family makes the candidate
+    set deterministic per dataset, so the exact-SQL oracle (which verifies
+    ALL pairs) still hash-matches."""
     shingles = (
         "array_distinct(transform(sequence(1, size(toks) - 2),"
         " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
@@ -98,7 +118,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= 3)
         .select("doc_id", "text", F.expr(shingles).alias("sh"))
     )
-    cands = minhash_candidate_pairs(d)
+    cands = minhash_candidate_pairs(d.select("doc_id", "sh"))
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = cands.join(a, "doc_a").join(b, "doc_b")
@@ -277,12 +297,10 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_survivor", (F.col("canonical_id") == F.col("doc_id")))
     )
-    # materialize before unpersisting the loop-carried labels frame
-    rows = out.collect()
-    comp.unpersist()
-    return spark.createDataFrame(
-        rows, schema="doc_id long, canonical_id long, is_survivor boolean"
-    )
+    # comp's lineage is already truncated (localCheckpoint per round), so
+    # the returned plan is a corpus scan + one broadcast-gated join — no
+    # driver collect anywhere (the mapping is corpus-sized at 100 TB).
+    return out
 
 
 QUERIES = {
