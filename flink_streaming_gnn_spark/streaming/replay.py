@@ -40,26 +40,47 @@ def events_stream(
     file source produces multiple micro-batches (real incremental state
     updates, not one giant batch).
 
+    Chunks are EVENT-TIME ORDERED: ``repartitionByRange`` on ts splits the
+    fixture into contiguous time ranges and each chunk file's mtime is
+    bumped monotonically so the file source (which orders by modification
+    time) replays them in event-time order — a real stream is
+    approximately time-ordered, and only then are watermark semantics
+    deterministic (hash-chunked replay made every batch after the first
+    arrive mostly behind the watermark, so late-drop became an accident of
+    which keys hashed into the first file).
+
     The chunk cache is keyed on the fixture's identity AND content
-    (path + mtime + size), so a regenerated fixture gets fresh chunks, and
-    is populated atomically (write to a temp dir, ``os.rename`` into place)
+    (path + mtime + size) plus the chunking-scheme version, so a
+    regenerated fixture (or this code changing) gets fresh chunks, and is
+    populated atomically (write to a temp dir, ``os.rename`` into place)
     so concurrent test sessions never observe a partially written cache.
     """
+    import glob
     import hashlib
+    import time
 
     src = os.path.join(sf_dir, "events.parquet")
     try:
         stat = os.stat(src)
-        fingerprint = f"{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}"
+        fingerprint = f"v2-tsorder:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}"
     except OSError:
-        fingerprint = sf_dir  # directory-style fixtures: fall back to path
+        fingerprint = f"v2-tsorder:{sf_dir}"  # directory-style fixtures
     digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
     chunk_dir = os.path.join(tempfile.gettempdir(), f"events_chunks_{digest}")
     if not os.path.isdir(chunk_dir):
         staging = tempfile.mkdtemp(prefix=f"events_chunks_{digest}_", dir=tempfile.gettempdir())
-        load_table(spark, sf_dir, "events").repartition(8, "event_id").write.mode(
-            "overwrite"
-        ).parquet(staging)
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(8, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        # part-0000i corresponds to the i-th ts range; pin the source's
+        # processing order by giving each range a strictly increasing mtime
+        base = int(time.time())
+        for i, p in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
+            os.utime(p, (base + i, base + i))
         try:
             os.rename(staging, chunk_dir)  # atomic publish
         except OSError:
