@@ -55,11 +55,26 @@ def graph_gcn_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verts = emb.select(F.col("vec_id").alias("v"))
 
-    dout = e.groupBy(F.col("src_v").alias("v")).agg(F.count("*").alias("dout"))
-    din = e.groupBy(F.col("dst_v").alias("v")).agg(F.count("*").alias("din"))
+    # both degrees from ONE pass over one edge subtree (explode each edge
+    # into an out-endpoint and an in-endpoint record, then a single hash
+    # agg) — the naive dout/din-as-two-aggregates shape gives the edge
+    # derivation three separate lineages that each rescan lineitem⋈orders;
+    # this shape leaves exactly two identical edge subtrees (degrees +
+    # messages), which AQE collapses with ReusedExchange
+    endpoints = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src_v").alias("v"), F.lit(1).alias("is_out")),
+                F.struct(F.col("dst_v").alias("v"), F.lit(0).alias("is_out")),
+            )
+        ).alias("p")
+    ).select("p.v", "p.is_out")
+    deg_counts = endpoints.groupBy("v").agg(
+        F.sum("is_out").alias("dout"),
+        F.sum(1 - F.col("is_out")).alias("din"),
+    )
     deg = (
-        verts.join(dout, "v", "left")
-        .join(din, "v", "left")
+        verts.join(deg_counts, "v", "left")
         .select(
             "v",
             (F.coalesce(F.col("dout"), F.lit(0)) + 1).alias("dhout"),

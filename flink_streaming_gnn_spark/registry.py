@@ -31,6 +31,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.anomaly",
     "flink_streaming_gnn_spark.llm.bm25",
     "flink_streaming_gnn_spark.llm.embprep",
+    "flink_streaming_gnn_spark.streaming.e2e",
     "flink_streaming_gnn_spark.graph.sampling",
     "flink_streaming_gnn_spark.graph.attention",
     "flink_streaming_gnn_spark.graph.triangles",
