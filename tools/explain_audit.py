@@ -161,6 +161,41 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"LeftSemi", r"LeftAnti"],
         [r"CartesianProduct"],
     ),
+    # GCN layer is 100% JVM: any *EvalPython/InPandas node means the layer
+    # fell off the codegen path; broadcast of embeddings gated below
+    "graph_gcn_layer": (
+        [r"HashAggregate", r"partial_sum"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    "graph_temporal_degree": ([r"HashAggregate"], [r"CartesianProduct"]),
+    # decay agg: the 1-row ref-time broadcast legitimately plans as a BNLJ;
+    # forbid only a real cross product and any Python
+    "graph_time_decayed_agg": (
+        [r"HashAggregate", r"partial_sum"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # per-walker top-1 must ride WindowGroupLimit, steps are equi-joins
+    "graph_random_walk": ([r"WindowGroupLimit"], [r"CartesianProduct"]),
+    # EWMA/z-score: one window sort per user, no join, no Python
+    "ts_ewma": ([r"Window"], [r"Join", r"EvalPython", r"InPandas"]),
+    "ts_anomaly_zscore": ([r"Window"], [r"Join", r"EvalPython", r"InPandas"]),
+    # melt = one Expand after the agg, never a per-measure Union of scans
+    "unpivot_melt": ([r"Expand"], [r"Union", r"CartesianProduct"]),
+    # BM25: explode + hash aggs + bounded TopK; 1-row avgdl broadcast is a
+    # legitimate BNLJ; no Python anywhere
+    "text_bm25_score": (
+        [r"Generate", r"HashAggregate", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # embedding prep is map-only: zero exchanges, zero joins, zero Python
+    "emb_l2_normalize": ([], [r"Exchange", r"Join", r"EvalPython", r"InPandas"]),
+    "emb_quantize_int8": ([], [r"Exchange", r"Join", r"EvalPython", r"InPandas"]),
+    # rewritten candidate generator: minhash sigs in one hash agg over the
+    # exploded shingles, band join is an equi-join — all JVM
+    "dedup_ngram_jaccard": (
+        [r"Generate", r"HashAggregate"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
@@ -170,6 +205,7 @@ GATED_BROADCASTS: dict[str, str] = {
     "graph_1hop_agg": "customer",
     "graph_2hop_neighbor_agg": "customer",
     "graph_sage_layer": "embeddings",
+    "graph_gcn_layer": "embeddings",
 }
 
 
