@@ -1,0 +1,100 @@
+"""OLAP aggregate extensions: MODE (most-frequent value per group) and a
+fixed-width histogram (SURVEY.md §2B aggregations — the two standard
+profiling aggregates next to percentiles/corr that every warehouse layer
+exposes).
+
+* ``agg_mode`` — most frequent event_type per user, deterministic
+  lexicographic tiebreak: count agg → WindowGroupLimit rank-1. Two
+  shuffles total (one on (user, type), one on user), both mergeable.
+* ``agg_histogram`` — 10-bin equi-width histogram of order totals; the
+  [min, max] domain is a 1-row broadcast aggregate (no driver collect),
+  binning is pure JVM arithmetic riding the scan, then one count agg on
+  the bin id. The mergeable-sketch alternative for streaming is
+  ``agg_approx_quantile``.
+
+At 100 TB: mode's first agg absorbs hot users map-side; the histogram's
+second pass shuffles only (bin, partial count) — 10 rows per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+N_BINS = 10
+
+
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    dom = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    step = (F.col("hi") - F.col("lo")) / N_BINS
+    binned = o.crossJoin(F.broadcast(dom)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / step),
+            F.lit(N_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.round(F.col("lo") + step * F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / step),
+            F.lit(N_BINS - 1),
+        ), 2).alias("bin_lo"),
+    )
+    return binned.groupBy("bin", "bin_lo").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+QUERIES = {"agg_mode": agg_mode, "agg_histogram": agg_histogram}
+
+ORACLE = {
+    "agg_mode": """
+        WITH counts AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        ranked AS (
+            SELECT user_id, event_type, n,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, event_type
+                   ) AS rn
+            FROM counts
+        )
+        SELECT user_id, event_type AS mode_type, n FROM ranked WHERE rn = 1
+    """,
+    "agg_histogram": f"""
+        WITH dom AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+        ),
+        binned AS (
+            SELECT least(CAST(floor((o_totalprice - dom.lo)
+                                    / ((dom.hi - dom.lo) / {N_BINS})) AS BIGINT),
+                         {N_BINS - 1}) AS bin,
+                   round(dom.lo + ((dom.hi - dom.lo) / {N_BINS})
+                         * least(CAST(floor((o_totalprice - dom.lo)
+                                    / ((dom.hi - dom.lo) / {N_BINS})) AS BIGINT),
+                                 {N_BINS - 1}), 2) AS bin_lo
+            FROM orders CROSS JOIN dom
+        )
+        SELECT bin, bin_lo, CAST(count(*) AS BIGINT) AS n
+        FROM binned GROUP BY bin, bin_lo
+    """,
+}

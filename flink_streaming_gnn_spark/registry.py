@@ -32,6 +32,10 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.bm25",
     "flink_streaming_gnn_spark.llm.embprep",
     "flink_streaming_gnn_spark.streaming.e2e",
+    "flink_streaming_gnn_spark.graph.ego",
+    "flink_streaming_gnn_spark.operators.olap",
+    "flink_streaming_gnn_spark.operators.seasonal",
+    "flink_streaming_gnn_spark.llm.corruption",
     "flink_streaming_gnn_spark.graph.sampling",
     "flink_streaming_gnn_spark.graph.attention",
     "flink_streaming_gnn_spark.graph.triangles",
