@@ -36,6 +36,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.olap",
     "flink_streaming_gnn_spark.operators.seasonal",
     "flink_streaming_gnn_spark.llm.corruption",
+    "flink_streaming_gnn_spark.operators.sqlsurface",
     "flink_streaming_gnn_spark.graph.sampling",
     "flink_streaming_gnn_spark.graph.attention",
     "flink_streaming_gnn_spark.graph.triangles",
