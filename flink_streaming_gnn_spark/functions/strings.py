@@ -30,9 +30,40 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"fn_string": fn_string}
+def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-regex family over document text: extract-all (joined to one
+    string for a representation-stable oracle), match count, rlike, and
+    split-by-pattern length — all JVM regexp, map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        # coalesce: DuckDB's array_to_string on an empty list yields NULL,
+        # Spark's array_join yields '' — pin '' on both sides
+        F.coalesce(
+            F.array_join(
+                F.regexp_extract_all("text", F.lit("(\\b[a-z]{4}\\b)"), 1), ","
+            ),
+            F.lit(""),
+        ).alias("four_letter_words"),
+        F.regexp_count("text", F.lit("\\bthe\\b")).cast("long").alias("n_the"),
+        F.col("text").rlike("join.*window|window.*join").alias("has_join_window"),
+        F.size(F.split("text", "\\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+QUERIES = {"fn_string": fn_string, "fn_regexp_family": fn_regexp_family}
 
 ORACLE = {
+    "fn_regexp_family": r"""
+        SELECT doc_id,
+               COALESCE(array_to_string(regexp_extract_all(text, '(\b[a-z]{4}\b)', 1), ','), '')
+                   AS four_letter_words,
+               CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_the,
+               regexp_matches(text, 'join.*window|window.*join')
+                   AS has_join_window,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens
+        FROM documents
+    """,
     "fn_string": """
         SELECT c_custkey,
                lower(c_name) AS name_lower,

@@ -230,7 +230,26 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate CROSS JOIN of two schema-bounded dimensions (region ×
+    nation = 125 rows) — the one place a cartesian product is legitimate:
+    both sides are constant-size by schema, so the product is too. Any
+    unbounded side belongs in a blocked/banded join (see llm/dedup.py);
+    tools/explain_audit.py forbids CartesianProduct everywhere else."""
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rk"), F.col("r_name").alias("region_name")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation_name")
+    )
+    return r.crossJoin(n).select(
+        "rk", "nk", "region_name", "nation_name",
+        (F.col("rk") * 100 + F.col("nk")).cast("long").alias("pair_id"),
+    )
+
+
 QUERIES = {
+    "join_cross_bounded": join_cross_bounded,
     "join_inner_hash": join_inner_hash,
     "join_broadcast": join_broadcast,
     "join_left": join_left,
@@ -264,6 +283,12 @@ _ANTI_SQL = """
 """
 
 ORACLE = {
+    "join_cross_bounded": """
+        SELECT r_regionkey AS rk, n_nationkey AS nk,
+               r_name AS region_name, n_name AS nation_name,
+               CAST(r_regionkey * 100 + n_nationkey AS BIGINT) AS pair_id
+        FROM region CROSS JOIN nation
+    """,
     "join_inner_hash": """
         SELECT o_orderkey, c_name, c_mktsegment, o_totalprice AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,125 @@
+"""Data profiling + quality gates (SURVEY.md §2A A15 ops-hardening: the
+checks a production ingestion layer runs before anything downstream sees
+the data — the relational form of the reference's sink-side accounting).
+
+* ``profile_table_stats`` — one-pass per-column profile of lineitem
+  (null rate, distinct estimate vs exact, min/max/mean) emitted as a tall
+  (column, metric, value) table. ONE hash-aggregate pass computes every
+  measure (Catalyst fuses the 20+ aggregates into one partial+final
+  pair); the melt to tall form happens post-aggregation on a 1-row frame.
+* ``dq_constraint_check`` — declarative constraint evaluation: each rule
+  is a conditional-count aggregate (violations, not rows), so the whole
+  rule set is again ONE pass; output is (rule, n_violations, pass).
+
+At 100 TB: both are single-scan single-agg plans — profiling cost equals
+one read of the table regardless of how many measures/rules are attached.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("double").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("double").alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.round(F.avg(c), 4).cast("double").alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    metrics = ["nulls", "distinct", "min", "max", "mean"]
+    values = [f"{c}__{m}" for c in _PROFILE_COLS for m in metrics]
+    return (
+        wide.unpivot(
+            ids=["n_rows"], values=values,
+            variableColumnName="colmetric", valueColumnName="value",
+        )
+        .select(
+            F.substring_index("colmetric", "__", 1).alias("column"),
+            F.substring_index("colmetric", "__", -1).alias("metric"),
+            "value",
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+_RULES = (
+    ("quantity_positive", "l_quantity <= 0"),
+    ("discount_in_range", "l_discount < 0 OR l_discount > 0.1"),
+    ("price_positive", "l_extendedprice <= 0"),
+    ("flag_domain", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("ship_before_1999", "l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'"),
+)
+
+
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        *[
+            F.sum(F.when(F.expr(cond), 1).otherwise(0))
+            .cast("long")
+            .alias(rule)
+            for rule, cond in _RULES
+        ]
+    )
+    tall = wide.unpivot(
+        ids=[], values=[r for r, _ in _RULES],
+        variableColumnName="rule", valueColumnName="n_violations",
+    )
+    return tall.select("rule", "n_violations", (F.col("n_violations") == 0).alias("pass"))
+
+
+def _profile_oracle() -> str:
+    per_col = []
+    for c in _PROFILE_COLS:
+        per_col.append(f"""
+        SELECT '{c}' AS "column", 'nulls' AS metric,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS value,
+               CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+        UNION ALL
+        SELECT '{c}', 'distinct', CAST(count(DISTINCT {c}) AS DOUBLE),
+               CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE),
+               CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE),
+               CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT '{c}', 'mean', CAST(round(avg({c}), 4) AS DOUBLE),
+               CAST(count(*) AS BIGINT) FROM lineitem
+        """)
+    return " UNION ALL ".join(per_col)
+
+
+def _dq_oracle() -> str:
+    parts = [
+        f"""SELECT '{rule}' AS rule,
+               CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations,
+               (sum(CASE WHEN {cond} THEN 1 ELSE 0 END) = 0) AS pass
+            FROM lineitem"""
+        for rule, cond in _RULES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+QUERIES = {
+    "profile_table_stats": profile_table_stats,
+    "dq_constraint_check": dq_constraint_check,
+}
+
+ORACLE = {
+    "profile_table_stats": _profile_oracle(),
+    "dq_constraint_check": _dq_oracle(),
+}

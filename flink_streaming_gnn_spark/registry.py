@@ -37,6 +37,8 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.seasonal",
     "flink_streaming_gnn_spark.llm.corruption",
     "flink_streaming_gnn_spark.operators.sqlsurface",
+    "flink_streaming_gnn_spark.graph.gin",
+    "flink_streaming_gnn_spark.operators.profile",
     "flink_streaming_gnn_spark.graph.sampling",
     "flink_streaming_gnn_spark.graph.attention",
     "flink_streaming_gnn_spark.graph.triangles",
