@@ -160,3 +160,64 @@ def latest_state(stream_df: DataFrame, key_col: str, seq_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_decayed_sum(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    tau_seconds: float,
+) -> DataFrame:
+    """TGN-style exponentially time-decayed per-key memory (the streaming
+    form of ``graph/temporal.graph_time_decayed_agg``): on each event,
+
+        state = state · exp(-(t − t_last)/τ) + v
+
+    folded in event-time order within each micro-batch. Because
+    exponential decay composes (``exp(-(a+b)) = exp(-a)·exp(-b)``), the
+    final state equals the batch closed form
+    ``Σ v_i · exp(-(T_last − t_i)/τ)`` REGARDLESS of how the stream was
+    micro-batched — the batch≡stream property pinned in tests. Events
+    with equal timestamps decay by exp(0)=1 between each other, so no
+    tiebreak is needed for determinism.
+
+    Emits (key, decayed_sum, last_ts_epoch) per key per micro-batch; the
+    run's final emission per key (max last_ts_epoch) is the final memory.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            acc, last = state.get
+        else:
+            acc, last = 0.0, None
+        rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
+        for t, v in zip(rows[ts_col], rows[value_col]):
+            ts = t.timestamp()
+            if last is not None:
+                acc *= math.exp(-(ts - last) / tau_seconds)
+            acc += float(v)
+            last = ts
+        state.update((acc, float(last)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "decayed_sum": [acc],
+                "last_ts_epoch": [last],
+            }
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="key long, decayed_sum double, last_ts_epoch double",
+            stateStructType="acc double, last double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
