@@ -196,6 +196,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Generate", r"HashAggregate"],
         [r"CartesianProduct", r"EvalPython", r"InPandas"],
     ),
+    # GIN: same all-JVM discipline as GCN; broadcast gated below
+    "graph_gin_layer": (
+        [r"HashAggregate", r"partial_sum"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # LATERAL top-N must decorrelate to WindowGroupLimit, never a per-row
+    # re-scan (BNLJ/cartesian)
+    "sql_lateral_topn": (
+        [r"WindowGroupLimit"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # native recursion: the UnionLoop operator with an equi-join per step
+    "sql_recursive_cte": ([r"UnionLoop"], [r"CartesianProduct"]),
+    # sketch agg: ObjectHashAggregate (sketch state), single pass, no join
+    "agg_hll_sketch_rollup": ([r"ObjectHashAggregate"], [r"Join"]),
+    # profiling/rules: ONE scan, ONE fused aggregate pass, no join
+    "profile_table_stats": ([r"HashAggregate"], [r"Join"]),
+    "dq_constraint_check": ([r"HashAggregate"], [r"Join", r"Union"]),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
@@ -206,6 +224,7 @@ GATED_BROADCASTS: dict[str, str] = {
     "graph_2hop_neighbor_agg": "customer",
     "graph_sage_layer": "embeddings",
     "graph_gcn_layer": "embeddings",
+    "graph_gin_layer": "embeddings",
 }
 
 
