@@ -91,23 +91,33 @@ def ivf_centroids(n_cells: int = 16, dim: int = DIM, seed: int = 7) -> np.ndarra
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def _cell_expr(emb_col: str, centroids: np.ndarray) -> F.Column:
-    """JVM-side argmax over centroid dot products: greatest() over the
-    per-cell scores, then a chained when() to recover the argmax index.
-    No Python boundary — the quantizer is pure codegen'd expressions."""
-    scores = [
-        F.expr(
-            dot_expr(emb_col, "array(" + ",".join(repr(float(x)) for x in c) + ")")
+def _cell_ranking(emb_col: str, centroids: np.ndarray) -> F.Column:
+    """Cells ranked best-first as array<struct<negs,i>>: one array_sort
+    over (−score, index) structs — ascending sort = descending score with
+    lowest-index tiebreak. Each per-cell dot product appears EXACTLY ONCE
+    in the array literal (building the structs from a `scores` column
+    reference looks cleaner but Catalyst's project-collapse inlines the
+    whole score array into every element_at, squaring the expression
+    tree; the previous greatest()+chained-when / repeated-nth shape had
+    the same disease — 4× the tree for the same result)."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -F.expr(
+                            dot_expr(
+                                emb_col,
+                                "array(" + ",".join(repr(float(x)) for x in c) + ")",
+                            )
+                        )
+                    ).alias("negs"),
+                    F.lit(i).cast("int").alias("i"),
+                )
+                for i, c in enumerate(centroids)
+            ]
         )
-        for c in centroids
-    ]
-    best = F.greatest(*scores)
-    cell = F.lit(None).cast("int")
-    expr = None
-    for i, s in enumerate(scores):
-        cond = s == best
-        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
-    return expr
+    )
 
 
 def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,19 +128,20 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests/test_llm.py."""
     cents = ivf_centroids()
     e = load_table(spark, sf_dir, "embeddings")
+    ranked = _cell_ranking("embedding", cents)
     assigned = e.select(
-        "vec_id", "embedding", _cell_expr("embedding", cents).alias("cell")
+        "vec_id", "embedding", F.element_at(ranked, 1)["i"].alias("cell")
     )
-    # probe cells: top-3 centroid scores per probe vector
-    probe_rows = assigned.filter(F.col("vec_id") < N_PROBES)
-    probe_cells = None
-    for rank in range(3):
-        pc = probe_rows.select(
+    # probe cells: top-3 centroid scores per probe vector, one explode
+    probe_cells = (
+        e.filter(F.col("vec_id") < N_PROBES)
+        .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("p_emb"),
-            _nth_cell_expr("embedding", cents, rank).alias("cell"),
+            F.explode(F.slice(ranked, 1, 3)).alias("rc"),
         )
-        probe_cells = pc if probe_cells is None else probe_cells.unionByName(pc)
+        .select("probe_id", "p_emb", F.col("rc.i").alias("cell"))
+    )
     cands = assigned.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "cell"
     )
@@ -147,18 +158,6 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "cand_id", F.round("cos", 6).alias("cos"),
                 F.col("rank").cast("long").alias("rank"))
     )
-
-
-def _nth_cell_expr(emb_col: str, centroids: np.ndarray, n: int) -> F.Column:
-    """Index of the (n+1)-th best centroid via iterated greatest-exclusion."""
-    scores = [
-        F.expr(dot_expr(emb_col, "array(" + ",".join(repr(float(x)) for x in c) + ")"))
-        for c in centroids
-    ]
-    arr = F.array(*scores)
-    sorted_desc = F.reverse(F.array_sort(arr))
-    target = F.element_at(sorted_desc, n + 1)
-    return (F.array_position(arr, target) - 1).cast("int")
 
 
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
