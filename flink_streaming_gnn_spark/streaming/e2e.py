@@ -57,12 +57,109 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, log)
 
 
+def stream_sliding_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation run as a REAL multi-trigger stream
+    (complete mode; the state store holds every open window and the final
+    emission after the last trigger equals the batch result). Exact
+    distinct is illegal on streaming DataFrames, so the streamed aggregate
+    is count + approx_count_distinct — the HLL sketch is deterministic for
+    a dataset, so even the approximate column hash-checks against the same
+    sketch computed in batch (the oracle covers the exact columns; the
+    sketch column is pinned by the batch-twin equality in tests)."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_gnn_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+
+    stream = events_stream(spark, sf_dir, files_per_trigger=2)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+    return run_to_completion(agg, "sliding_e2e")
+
+
+def stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap) run as a REAL stream in
+    complete mode: session merging happens in the state store across
+    micro-batches (a session split across triggers must merge), and the
+    final state equals the batch session_window result — the strongest
+    per-key stateful-merge attestation the oracle can check exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_gnn_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+
+    stream = events_stream(spark, sf_dir, files_per_trigger=2)
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_completion(agg, "session_e2e")
+
+
 QUERIES = {
     "stream_windowed_topk": stream_windowed_topk,
     "stream_cdc_snapshot": stream_cdc_snapshot,
+    "stream_sliding_e2e": stream_sliding_e2e,
+    "stream_session_e2e": stream_session_e2e,
 }
 
 ORACLE = {
+    # final complete-mode state after the last trigger == batch sliding agg
+    "stream_sliding_e2e": """
+        WITH slides AS (
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k.k * INTERVAL '15 minutes' AS window_start
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM slides
+        GROUP BY 1
+    """,
+    # state-store session merging across micro-batches == batch lag-gap SQL
+    "stream_session_e2e": """
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '30 minutes'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM gaps
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
     # final overwritten sink state == batch hourly top-k over all events
     "stream_windowed_topk": f"""
         WITH agg AS (
