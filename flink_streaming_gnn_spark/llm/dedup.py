@@ -48,6 +48,15 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_MINHASH = 16  # OR-ed single-row bands: P(miss) = (1-j)^16
 
+# distinct token-trigram shingles of a pre-split ``toks`` column — the
+# near-dup feature set shared by the hand-rolled band generator, the
+# Jaccard verify stage, and the pyspark.ml MinHashLSH variant
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, size(toks) - 2),"
+    " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+    " element_at(toks, i + 2))))"
+)
+
 
 def minhash_candidate_pairs(d: DataFrame) -> DataFrame:
     """LSH-banded candidate pairs (doc_a < doc_b) over the SHINGLE sets the
@@ -107,16 +116,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ≤ 2^-16, and the seeded hash family makes the candidate
     set deterministic per dataset, so the exact-SQL oracle (which verifies
     ALL pairs) still hash-matches."""
-    shingles = (
-        "array_distinct(transform(sequence(1, size(toks) - 2),"
-        " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-        " element_at(toks, i + 2))))"
-    )
     d = (
         load_table(spark, sf_dir, "documents")
         .withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
-        .select("doc_id", "text", F.expr(shingles).alias("sh"))
+        .select("doc_id", "text", F.expr(_SHINGLES_EXPR).alias("sh"))
     )
     cands = minhash_candidate_pairs(d.select("doc_id", "sh"))
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -161,21 +165,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (Jaccard distance ≤ 0.3) via
-    pyspark.ml: HashingTF token sets → MinHashLSH(seed) →
-    approxSimilarityJoin. The LSH band/bucket join is the 100 TB path —
-    candidates are generated by equi-join on band hashes, never by
-    pairwise comparison. Rows-only (randomized family; recall of planted
-    exact dups asserted in tests)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    """MinHash-LSH near-dup candidate pairs (shingle-Jaccard distance
+    ≤ 0.5) via pyspark.ml: HashingTF over token-TRIGRAM shingle sets →
+    MinHashLSH(seed) → approxSimilarityJoin. The LSH band/bucket join is
+    the 100 TB path — candidates are generated by equi-join on band
+    hashes, never by pairwise comparison.
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = Tokenizer(inputCol="text", outputCol="toks").transform(d)
-    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(toks)
+    Shingles, not unigram tokens, for the same reason as
+    ``minhash_candidate_pairs``: a corpus whose vocabulary saturates
+    (every doc contains most words — true of any corpus much larger than
+    its vocabulary) puts ALL documents in the same unigram buckets, and
+    the "candidate" join degenerates to the full cross product (observed
+    as a crash at the sf1 scale probe). Shingle sets stay diverse, so
+    bucket sizes track true near-duplicates. Rows-only (randomized
+    family; recall of planted exact dups asserted in tests)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(d)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
