@@ -116,11 +116,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ≤ 2^-16, and the seeded hash family makes the candidate
     set deterministic per dataset, so the exact-SQL oracle (which verifies
     ALL pairs) still hash-matches."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _near_dup_pairs(d)
+
+
+def _near_dup_pairs(d: DataFrame) -> DataFrame:
+    """candidates (shingle-minhash bands) → exact trigram-Jaccard ≥ 0.5
+    verify, over any (doc_id, text) frame. Returns (doc_a, doc_b, jaccard)."""
     d = (
-        load_table(spark, sf_dir, "documents")
-        .withColumn("toks", F.split("text", " "))
+        d.withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
-        .select("doc_id", "text", F.expr(_SHINGLES_EXPR).alias("sh"))
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
     )
     cands = minhash_candidate_pairs(d.select("doc_id", "sh"))
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -291,30 +297,46 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus mapping ``(doc_id, canonical_id, is_survivor)``; survivors are
     the deduplicated corpus.
 
-    100 TB path: the CC loop runs on the verified pair list (≪ corpus);
-    the final mapping is one left join of the corpus against the
-    cluster-membership table, which is dup-cluster-sized and broadcast-gated.
-    Oracle: all-pairs verify + recursive-CTE reachability — a hash match
-    proves both the LSH recall AND the clustering are exact on the fixture.
+    100 TB path, in pipeline order: (1) collapse EXACT duplicates first —
+    one xxhash64 hash agg electing min-doc_id representatives, so the
+    expensive near-dup stage sees each distinct text once (on a corpus
+    with heavy exact replication this shrinks LSH+verify quadratically:
+    the sf1 scale probe went 156 s → seconds); (2) LSH candidates → exact
+    trigram-Jaccard verify over the representatives; (3) connected
+    components over the representative dup graph (≪ corpus); (4) expand
+    membership back through the exact-dup mapping with one broadcast-gated
+    join over the corpus. Semantics are unchanged — exact clones share
+    their representative's shingle set, so any connectivity through a
+    clone exists through its representative, and cluster canonical = min
+    doc_id either way — which is why the all-pairs recursive-CTE oracle
+    still hash-matches.
     """
-    d = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.xxhash64("text").alias("th")
+    )
+    reps = keyed.groupBy("th").agg(F.min("doc_id").alias("rep_id"))
+    rep_map = keyed.join(maybe_broadcast(reps), "th").select("doc_id", "rep_id")
+    rep_docs = (
+        keyed.join(maybe_broadcast(reps), "th")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "text")
+    )
+    pairs = _near_dup_pairs(rep_docs).select("doc_a", "doc_b")
     comp = _cc_over_pairs(pairs)
     out = (
-        d.select("doc_id")
-        .join(
-            maybe_broadcast(comp.withColumnRenamed("node", "doc_id")),
-            "doc_id",
+        rep_map.join(
+            maybe_broadcast(comp.withColumnRenamed("node", "rep_id")),
+            "rep_id",
             "left",
         )
         .select(
             "doc_id",
-            F.coalesce("canonical", F.col("doc_id")).cast("long").alias("canonical_id"),
+            F.coalesce("canonical", F.col("rep_id")).cast("long").alias("canonical_id"),
         )
         .withColumn("is_survivor", (F.col("canonical_id") == F.col("doc_id")))
     )
     # comp's lineage is already truncated (localCheckpoint per round), so
-    # the returned plan is a corpus scan + one broadcast-gated join — no
+    # the returned plan is a corpus scan + broadcast-gated joins — no
     # driver collect anywhere (the mapping is corpus-sized at 100 TB).
     return out
 
