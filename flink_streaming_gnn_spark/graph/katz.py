@@ -1,0 +1,78 @@
+"""Katz centrality — completes the centrality family next to degree,
+PageRank, and HITS (SURVEY.md §2B graph ops): unlike PageRank's
+random-surfer normalization, Katz counts ALL walks into a vertex,
+attenuated by length:
+
+    c = Σ_{k≥1} α^k · (Aᵀ)^k · 1    (truncated at ROUNDS terms)
+
+computed by the same fixed-round power-iteration shape as
+``graph/pagerank.py``: per round one join (walk counts onto edges) + one
+hash aggregate (sum per destination), both shuffling on vertex id so
+consecutive rounds reuse the partitioning; the running Katz sum
+accumulates as a zero-shuffle column add. α = 0.1 is well under the
+1/λ_max convergence bound for this graph (checked by the numpy parity
+test).
+
+Determinism: float sums are partition-order dependent in the last ulp →
+rows-only key rounded to 6 dp; exactness vs a numpy reference (same
+truncation) is pinned in tests/test_round2c.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.graph.edges import derive_vertex_embeddings
+
+ALPHA = 0.1
+ROUNDS = 6
+
+
+def katz_scores(spark: SparkSession, sf_dir: str, rounds: int = ROUNDS) -> DataFrame:
+    # localCheckpoint, NOT persist: each round references `state` TWICE
+    # (step join + accumulate join), so an uncheckpointed lineage doubles
+    # per round — 2^rounds × the edge-derivation tree, which OOMs the
+    # driver at ANALYSIS time before a single row moves (the SURVEY
+    # "iterative-loop lineage rule"; graph/components.py measured the same
+    # failure). PageRank gets away with persist because its rank frame is
+    # referenced once per round (linear growth); any twice-referenced loop
+    # state must truncate.
+    e = derive_vertex_embeddings(spark, sf_dir).distinct().localCheckpoint()
+    v = (
+        e.select(F.col("src_v").alias("v"))
+        .union(e.select(F.col("dst_v").alias("v")))
+        .distinct()
+    )
+    # walk[k](v) = number of length-k walks ending at v, attenuated: the
+    # per-round carrier; katz accumulates the series
+    state = v.select(
+        "v", F.lit(1.0).alias("walk"), F.lit(0.0).alias("katz")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        stepped = (
+            e.join(state, e.src_v == state.v)
+            .select(F.col("dst_v").alias("b"), (F.col("walk") * ALPHA).alias("w"))
+            .groupBy("b")
+            .agg(F.sum("w").alias("new_walk"))
+        )
+        state = (
+            state.join(stepped, state.v == stepped.b, "left")
+            .select(
+                "v",
+                F.coalesce("new_walk", F.lit(0.0)).alias("walk"),
+                (F.col("katz") + F.coalesce("new_walk", F.lit(0.0))).alias("katz"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("v", "katz")
+
+
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return katz_scores(spark, sf_dir).select(
+        F.col("v").alias("vertex"), F.round("katz", 6).alias("katz")
+    )
+
+
+QUERIES = {"graph_katz_centrality": graph_katz_centrality}
+ORACLE: dict[str, str] = {}  # float fixpoint — numpy parity pinned in tests

@@ -163,7 +163,47 @@ def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TILE = 224  # ViT-style patch window
+
+
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image tiling plan: per-asset (width, height) metadata
+    (derived from doc_id here; a real pipeline reads the decoded header
+    struct) cut into a TILE×TILE grid with edge tiles clamped — one row
+    per (asset, row, col) with pixel bounds, the exact explode a
+    vision-encoder mapInPandas (multimodal_decode_stub's contract)
+    consumes. Zero shuffle, all integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("w", (256 + F.pmod("doc_id", F.lit(8)) * 128).cast("long"))
+    d = d.withColumn("h", (256 + F.pmod("doc_id", F.lit(5)) * 128).cast("long"))
+    d = d.withColumn("n_cols", F.expr(f"(w + {TILE} - 1) div {TILE}"))
+    d = d.withColumn("n_rows", F.expr(f"(h + {TILE} - 1) div {TILE}"))
+    grid = d.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.col("n_rows") - 1)).alias("tile_row"),
+        "n_cols",
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        "tile_row",
+        F.explode(F.sequence(F.lit(0), F.col("n_cols") - 1)).alias("tile_col"),
+    )
+    return grid.select(
+        "doc_id",
+        F.col("tile_row").cast("long").alias("tile_row"),
+        F.col("tile_col").cast("long").alias("tile_col"),
+        (F.col("tile_col") * TILE).cast("long").alias("x0"),
+        (F.col("tile_row") * TILE).cast("long").alias("y0"),
+        F.least(F.col("tile_col") * TILE + TILE, F.col("w")).cast("long").alias("x1"),
+        F.least(F.col("tile_row") * TILE + TILE, F.col("h")).cast("long").alias("y1"),
+    )
+
+
 QUERIES = {
+    "multimodal_image_tiles": multimodal_image_tiles,
     "multimodal_cols": multimodal_cols,
     "multimodal_audio_chunk": multimodal_audio_chunk,
     "multimodal_binary_meta": multimodal_binary_meta,
@@ -172,6 +212,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "multimodal_image_tiles": f"""
+        WITH meta AS (
+            SELECT doc_id,
+                   256 + (doc_id % 8) * 128 AS w,
+                   256 + (doc_id % 5) * 128 AS h,
+                   (256 + (doc_id % 8) * 128 + {TILE} - 1) // {TILE} AS n_cols,
+                   (256 + (doc_id % 5) * 128 + {TILE} - 1) // {TILE} AS n_rows
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(r.tile_row AS BIGINT) AS tile_row,
+               CAST(c.tile_col AS BIGINT) AS tile_col,
+               CAST(c.tile_col * {TILE} AS BIGINT) AS x0,
+               CAST(r.tile_row * {TILE} AS BIGINT) AS y0,
+               CAST(least(c.tile_col * {TILE} + {TILE}, w) AS BIGINT) AS x1,
+               CAST(least(r.tile_row * {TILE} + {TILE}, h) AS BIGINT) AS y1
+        FROM meta,
+             LATERAL (SELECT unnest(generate_series(0, CAST(n_rows - 1 AS INT)))
+                      AS tile_row) r,
+             LATERAL (SELECT unnest(generate_series(0, CAST(n_cols - 1 AS INT)))
+                      AS tile_col) c
+    """,
     "multimodal_audio_chunk": f"""
         WITH meta AS (
             SELECT doc_id, (5 + doc_id % 120) * 1000 AS duration_ms

@@ -160,3 +160,31 @@ def test_gin_layer_matches_numpy(spark):
         h = w2 @ np.maximum(w1 @ agg, 0.0)
         mine = got.loc[v, [f"h{j}" for j in range(1, 5)]].to_numpy(dtype=float)
         assert np.allclose(mine, np.round(h, 4), atol=2e-4), v
+
+
+def test_katz_matches_numpy(spark):
+    from flink_streaming_gnn_spark.graph.edges import derive_vertex_embeddings
+    from flink_streaming_gnn_spark.graph.katz import ALPHA, ROUNDS, graph_katz_centrality
+
+    got = (
+        graph_katz_centrality(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("vertex")
+        .katz.sort_index()
+    )
+    edges = (
+        derive_vertex_embeddings(spark, SF_SMOKE).distinct().toPandas()
+    )
+    verts = sorted(set(edges.src_v) | set(edges.dst_v))
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for r in edges.itertuples():
+        A[idx[r.src_v], idx[r.dst_v]] = 1.0
+    walk = np.ones(n)
+    katz = np.zeros(n)
+    for _ in range(ROUNDS):
+        walk = ALPHA * (A.T @ walk)
+        katz += walk
+    for v in got.index:
+        assert abs(got[v] - round(katz[idx[v]], 6)) <= 1e-5, (v, got[v], katz[idx[v]])
