@@ -68,12 +68,83 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operation every
+    100 TB lake needs (streaming sinks and fine-grained partitions leave
+    thousands of KB-sized files; scan cost is then dominated by file
+    listing and open overhead, not bytes). Deliberately fragment events
+    into 64 splinter files, compact by rewriting with a byte-budget
+    repartition (here to 4 files ≈ the classic 128 MB-target rewrite),
+    and read the compacted table back. The oracle is the ORIGINAL table,
+    so a compaction that loses, duplicates, or mangles any row cannot
+    hash-match; the file counts are asserted so the key proves compaction
+    actually happened."""
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    frag_dir = os.path.join(tempfile.gettempdir(), f"events_frag_{tag}")
+    compact_dir = os.path.join(tempfile.gettempdir(), f"events_compact_{tag}")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
+
+    def _n_files(d: str) -> int:
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    if not _n_files(frag_dir) > _n_files(compact_dir):
+        raise AssertionError("compaction did not reduce file count")
+    back = spark.read.parquet(compact_dir)
+    return back.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (mergeSchema): generation 1 of a dataset
+    is written without a column, generation 2 adds it; a merged scan must
+    surface the union schema with NULLs for the missing column — the
+    add-a-column migration every long-lived lake table goes through
+    without rewriting history. Split = deterministic id parity; oracle =
+    the same UNION ALL with a NULL literal."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"events_evolved_{tag}")
+    gen1 = ev.filter(F.pmod("event_id", F.lit(2)) == 0).drop("value")
+    gen2 = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
 QUERIES = {
+    "sink_compact_small_files": sink_compact_small_files,
+    "scan_schema_evolution": scan_schema_evolution,
     "sink_parquet": sink_parquet_roundtrip,
     "scan_partition_pruning": scan_partition_pruning,
 }
 
 ORACLE = {
+    "sink_compact_small_files": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               user_id, event_type, value
+        FROM events
+    """,
+    "scan_schema_evolution": """
+        SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_id % 2 = 1
+    """,
     "scan_partition_pruning": """
         SELECT doc_id, text, lang, source, n_chars
         FROM documents
