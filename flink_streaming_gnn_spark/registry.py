@@ -41,6 +41,8 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.profile",
     "flink_streaming_gnn_spark.operators.sketches",
     "flink_streaming_gnn_spark.graph.katz",
+    "flink_streaming_gnn_spark.operators.regression",
+    "flink_streaming_gnn_spark.graph.assortativity",
     "flink_streaming_gnn_spark.graph.sampling",
     "flink_streaming_gnn_spark.graph.attention",
     "flink_streaming_gnn_spark.graph.triangles",
