@@ -16,4 +16,13 @@ Design split:
   coalescing aggregate + one batched tensor forward, batch≡stream.
 - ``metrics.py`` — listener-bus per-micro-batch throughput/latency
   recording (A15), zero touch on the data path.
+- ``sources.py`` — Kafka source builder + wire codec with a file-backed
+  test double (same downstream plan on either source).
+- ``joins.py`` — watermarked stream–stream interval join.
+- ``cdc.py`` / ``topk.py`` — foreachBatch patterns: log-structured CDC
+  apply + merge-on-read, and the complete-mode top-k re-rank.
+- ``e2e.py`` — END-TO-END streaming keys for the driver contract: real
+  multi-trigger runs (windowed top-k, CDC snapshot, sliding and session
+  aggregations) whose deterministic final state hash-matches batch SQL
+  oracles.
 """
