@@ -78,6 +78,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.katz",
     "flink_streaming_gnn_spark.operators.regression",
     "flink_streaming_gnn_spark.graph.assortativity",
+    "flink_streaming_gnn_spark.llm.report",
     "flink_streaming_gnn_spark.operators.relational",
     "flink_streaming_gnn_spark.operators.joins",
     "flink_streaming_gnn_spark.operators.aggregates",
