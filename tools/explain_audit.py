@@ -214,6 +214,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # profiling/rules: ONE scan, ONE fused aggregate pass, no join
     "profile_table_stats": ([r"HashAggregate"], [r"Join"]),
     "dq_constraint_check": ([r"HashAggregate"], [r"Join", r"Union"]),
+    # manifest is per-row arithmetic riding one scan: zero exchanges
+    "multimodal_asset_manifest": ([], [r"Exchange", r"Join", r"EvalPython"]),
+    # report: aggregate passes only, no raw-corpus join
+    "corpus_stats_report": ([r"HashAggregate"], [r"SortMergeJoin", r"EvalPython"]),
+    # OLS: one mergeable agg pass after the equi-join
+    "agg_linear_regression": ([r"HashAggregate", r"partial_regr"], [r"CartesianProduct"]),
+    "graph_assortativity": ([r"HashAggregate"], [r"CartesianProduct"]),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
