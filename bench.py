@@ -77,6 +77,16 @@ def _time_best(fn, runs: int = 2) -> float:
 # algorithm (notably graph_2hop's O(E) pre-aggregation rewrite).
 
 _KEY_SHIFT = 100_000_000  # larger than any key at sf<=1
+
+# The non-TPC-H tables are tiny at sf0.1 (documents 5k, embeddings 2k,
+# events 100k rows) — at 10× they still never amortize Spark's fixed
+# ~0.3 s/query floor, so their ratios would measure overhead, not the
+# engine. Boost them 10× further (→100 copies: documents 500k,
+# embeddings 200k, events 10M rows) so both engines do real work. Safe
+# because no headline query joins across the boosted/unboosted groups
+# (TPC-H ⊥ events ⊥ documents ⊥ embeddings — see oracle SQL table sets).
+_REPLICA_BOOST = {"events": 10, "documents": 10, "embeddings": 10}
+
 _SHIFT_COLS = {
     "customer": ("c_custkey",),
     "orders": ("o_orderkey", "o_custkey"),
@@ -93,7 +103,7 @@ def _build_blownup(spark, sf_dir: str, replicas: int) -> str:
     keyed on fixture content + replica count, atomic-renamed into place)."""
     from pyspark.sql import functions as F
 
-    sig_parts = [f"x{replicas}"]
+    sig_parts = [f"x{replicas}", f"boost{sorted(_REPLICA_BOOST.items())}"]
     for t in TABLES:
         st = os.stat(table_path(sf_dir, t))
         sig_parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
@@ -106,8 +116,9 @@ def _build_blownup(spark, sf_dir: str, replicas: int) -> str:
         df = load_table(spark, sf_dir, t)
         cols = _SHIFT_COLS.get(t)
         if cols:
+            n_copies = replicas * _REPLICA_BOOST.get(t, 1)
             copies = []
-            for i in range(replicas):
+            for i in range(n_copies):
                 d = df
                 for c in cols:
                     d = d.withColumn(c, (F.col(c) + F.lit(i * _KEY_SHIFT)).cast("long"))
@@ -115,6 +126,10 @@ def _build_blownup(spark, sf_dir: str, replicas: int) -> str:
             out = copies[0]
             for p in copies[1:]:
                 out = out.unionByName(p)
+            if n_copies > replicas:
+                # a union of 100 single-partition scans would write 100
+                # splinter files; compact to a handful of full ones
+                out = out.repartition(16)
         else:
             out = df
         out.write.mode("overwrite").parquet(os.path.join(staging, f"{t}.parquet"))
@@ -153,6 +168,7 @@ def _bench_blownup(spark, queries, sf_dir: str, replicas: int) -> dict:
     total_s, total_d = sum(spark_t.values()), sum(duck_t.values())
     return {
         "replicas": replicas,
+        "replica_boost": dict(_REPLICA_BOOST),
         "note": "same blown-up parquet, same algorithm both engines (oracle SQL)",
         "spark": spark_t,
         "duckdb": duck_t,

@@ -1,0 +1,112 @@
+"""Local clustering coefficient on the supplier co-order projection
+(SURVEY.md §2B graph ops; completes the triangle family started by
+``graph/triangles.py`` — the same ordered a<b<c enumeration, read out
+per-vertex instead of as one global count).
+
+Semantics: for each projected vertex v with degree ≥ 2,
+
+    cc(v) = 2 · T(v) / (deg(v) · (deg(v) − 1))
+
+where T(v) counts triangles incident to v. The structural signal a GNN
+cannot learn from 1-hop aggregation alone (triangles are 2-hop cycles),
+and the classic "is this neighborhood a clique or a star" feature.
+
+Spark-first shape: the triangle enumeration is the two-equi-join ascending
+path extension from ``graph/triangles.py`` (each triangle emitted exactly
+once); the per-vertex readout explodes each triangle into its three
+incident vertices — one array explode, |T|×3 rows — and hash-aggregates.
+Degrees are one explode + one hash agg over the oriented edge list. All
+shuffles key on supplier ids; the deterministic edge subtrees are
+identical, so AQE reuses the exchange instead of rescanning lineitem.
+
+Scale posture: identical to triangle counting — the enumeration is the
+textbook target for degree-based orientation at 100 TB (point edges at the
+higher-degree endpoint; wedge fan-out drops from max-degree² to
+arboricity-bounded); the readout and degree aggs are |V|-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.graph.triangles import _supplier_edges
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _supplier_edges(spark, sf_dir)
+    # degree: each oriented edge contributes to both endpoints
+    deg = (
+        e.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("supplier")
+        )
+        .groupBy("supplier")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    # triangles, each exactly once (a < b < c), exploded to incident vertices
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    wedges = e.join(e2, e.b == e2.b2)
+    tris = wedges.join(e3, (wedges.a == e3.a3) & (wedges.c == e3.c3))
+    tri_per_v = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("supplier")
+        )
+        .groupBy("supplier")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_per_v, "supplier", "left")
+        .select(
+            F.col("supplier").cast("long").alias("supplier"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+QUERIES = {"graph_clustering_coefficient": graph_clustering_coefficient}
+
+ORACLE = {
+    "graph_clustering_coefficient": """
+        WITH pairs AS (
+            SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+            FROM lineitem l1
+            JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+        ),
+        deg AS (
+            SELECT supplier, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT a AS supplier FROM pairs
+                  UNION ALL SELECT b FROM pairs)
+            GROUP BY supplier
+        ),
+        tris AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e2.a = e1.b
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tri_v AS (
+            SELECT supplier, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT a AS supplier FROM tris
+                  UNION ALL SELECT b FROM tris
+                  UNION ALL SELECT c FROM tris)
+            GROUP BY supplier
+        )
+        SELECT CAST(deg.supplier AS BIGINT) AS supplier,
+               deg.degree,
+               COALESCE(tri_v.n_triangles, 0) AS n_triangles,
+               round(2.0 * COALESCE(tri_v.n_triangles, 0)
+                     / (deg.degree * (deg.degree - 1)), 6) AS clustering
+        FROM deg LEFT JOIN tri_v ON tri_v.supplier = deg.supplier
+        WHERE deg.degree >= 2
+    """,
+}

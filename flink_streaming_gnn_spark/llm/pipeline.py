@@ -186,11 +186,48 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.3  # temperature exponent: p_i ∝ share^α (α<1 flattens)
+
+
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-sampling rule
+    p_i ∝ share_i^α, α≈0.3, used by mT5/XLM-R-style corpora): where
+    ``mix_weights`` targets an equal token budget per source, this key
+    interpolates between natural (α=1) and uniform (α=0) sampling.
+    Shape: two tiny aggregates over per-source token counts (the shuffle
+    carries one row per source), a 1-row normalizer, and a final
+    broadcast-joined projection — |sources| rows out at any corpus size.
+    Output: natural share, temperature share, and the boost factor the
+    sequence sampler applies per source."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " ")).cast("long")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_tok").alias("src_tok"))
+    tot = per_src.agg(F.sum("src_tok").alias("tot_tok"))
+    with_p = per_src.crossJoin(maybe_broadcast(tot)).withColumn(
+        "p", F.col("src_tok") / F.col("tot_tok")
+    )
+    z = with_p.agg(F.sum(F.pow("p", F.lit(MIX_ALPHA))).alias("z"))
+    return (
+        with_p.crossJoin(maybe_broadcast(z))
+        .select(
+            "source",
+            F.col("src_tok").cast("long").alias("src_tokens"),
+            F.round("p", 6).alias("natural_share"),
+            F.round(F.pow("p", F.lit(MIX_ALPHA)) / F.col("z"), 6).alias("temp_share"),
+            F.round((F.pow("p", F.lit(MIX_ALPHA)) / F.col("z")) / F.col("p"), 6).alias(
+                "boost"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "decontam_ngram": decontam_ngram,
     "pack_sequences": pack_sequences,
     "mix_weights": mix_weights,
+    "mix_temperature_sampling": mix_temperature_sampling,
     "quality_filter_pipeline": quality_filter_pipeline,
 }
 
@@ -241,6 +278,24 @@ ORACLE = {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                            - n_tok) / {SEQ_BUDGET}) AS BIGINT) AS seq_id
         FROM d
+    """,
+    "mix_temperature_sampling": f"""
+        WITH per_src AS (
+            SELECT source, sum(len(string_split(text, ' '))) AS src_tok
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(src_tok) AS tot_tok FROM per_src),
+        with_p AS (
+            SELECT source, src_tok, src_tok * 1.0 / tot_tok AS p
+            FROM per_src CROSS JOIN tot
+        ),
+        z AS (SELECT sum(pow(p, {MIX_ALPHA})) AS z FROM with_p)
+        SELECT source,
+               CAST(src_tok AS BIGINT) AS src_tokens,
+               round(p, 6) AS natural_share,
+               round(pow(p, {MIX_ALPHA}) / z, 6) AS temp_share,
+               round((pow(p, {MIX_ALPHA}) / z) / p, 6) AS boost
+        FROM with_p CROSS JOIN z
     """,
     "mix_weights": """
         WITH per_src AS (

@@ -24,22 +24,14 @@ N_PROBES = 50
 TOP_K = 20
 
 
-def simsearch_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-20 for the first 50 vec_ids (BASELINE
-    ``vector_knn_cosine`` shape): the probe set (bounded, N_PROBES rows —
-    in production it is the user's query batch) ships inside an
-    Arrow-batched ``mapInPandas`` scorer that computes ALL probe scores for
-    a candidate batch as ONE numpy matmul — the "vectorized pandas UDF for
-    tensor math" tier. The collection is scanned exactly once; the scorer
-    is embarrassingly parallel (no shuffle); only the (cand, probe, cos)
-    triples — never the vectors — flow into the per-probe top-k window
-    (WindowGroupLimit keeps k rows per partition before the final merge).
-
-    Chosen over the pure-JVM expression fold (still used by the IVF/LSH
-    tiers) after measuring ~2× on the 64-dim fixture: a 250k×64 matmul is
-    where BLAS beats codegen'd per-element folds. Output is hash-identical
-    to the fold (verified at sf0.001/sf0.01): same doubles at round-6."""
-    e = load_table(spark, sf_dir, "embeddings")
+def _brute_scores(e: DataFrame) -> DataFrame:
+    """All (cand, probe, cos) triples for the bounded probe set vs the full
+    collection: the probe batch ships inside an Arrow-batched
+    ``mapInPandas`` scorer that computes ALL probe scores for a candidate
+    batch as ONE numpy matmul — the "vectorized pandas UDF for tensor
+    math" tier. The collection is scanned exactly once; the scorer is
+    embarrassingly parallel (no shuffle); only the score triples — never
+    the vectors — leave it. Self-pairs excluded."""
     probes = (
         e.filter(F.col("vec_id") < N_PROBES).select("vec_id", "embedding").collect()
     )
@@ -67,11 +59,25 @@ def simsearch_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = (
+    return (
         e.select("vec_id", "embedding")
         .mapInPandas(score, schema="cand_id long, probe_id long, cos double")
         .filter(F.col("probe_id") != F.col("cand_id"))
     )
+
+
+def simsearch_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 for the first 50 vec_ids (BASELINE
+    ``vector_knn_cosine`` shape): BLAS-batched scoring (``_brute_scores``),
+    then a per-probe top-k window (WindowGroupLimit keeps k rows per
+    partition before the final merge).
+
+    The numpy-matmul scorer was chosen over the pure-JVM expression fold
+    (still used by the IVF/LSH tiers) after measuring ~2× on the 64-dim
+    fixture: a 250k×64 matmul is where BLAS beats codegen'd per-element
+    folds. Output is hash-identical to the fold (verified at
+    sf0.001/sf0.01): same doubles at round-6."""
+    scored = _brute_scores(load_table(spark, sf_dir, "embeddings"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -82,6 +88,26 @@ def simsearch_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cos"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+COS_RANGE_THRESHOLD = 0.3  # ≈ p99 of the pairwise cosine distribution
+
+
+def simsearch_range_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — the other ANN query shape next to top-k: ALL
+    collection vectors within a cosine radius of each probe (the
+    "find every near-duplicate / every in-cluster member" query, where
+    top-k would truncate dense neighborhoods and pad sparse ones).
+    Same single-scan BLAS scorer as the knn tier; the radius filter
+    replaces the ranking window, so the plan has NO shuffle at all —
+    score, filter, project. Both engines filter on the round-6 score so
+    the threshold boundary is engine-stable."""
+    scored = _brute_scores(load_table(spark, sf_dir, "embeddings"))
+    return (
+        scored.withColumn("cos", F.round("cos", 6))
+        .filter(F.col("cos") >= COS_RANGE_THRESHOLD)
+        .select("probe_id", "cand_id", "cos")
     )
 
 
@@ -316,6 +342,7 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "simsearch_range_cosine": simsearch_range_cosine,
     "simsearch_cosine_knn": simsearch_cosine_knn,
     "simsearch_pq": simsearch_pq,
     "emb_centroid_per_label": emb_centroid_per_label,
@@ -348,6 +375,13 @@ _KNN_SQL = f"""
 """
 
 ORACLE = {
+    "simsearch_range_cosine": f"""
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               round({_DUCK_COS_PC}, 6) AS cos
+        FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < {N_PROBES}
+          AND round({_DUCK_COS_PC}, 6) >= {COS_RANGE_THRESHOLD}
+    """,
     "simsearch_cosine_knn": _KNN_SQL,
     "vector_knn_cosine": _KNN_SQL,
     "emb_centroid_per_label": """

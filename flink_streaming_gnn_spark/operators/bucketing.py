@@ -1,0 +1,89 @@
+"""Bucketed co-located join as a first-class query key (SURVEY.md §4.3;
+the claim "at cluster scale both sides would be bucketed on orderkey"
+made executable in the registry, not just in tests/test_bucketing.py).
+
+``sink_bucketed_join`` materializes lineitem and orders bucketed on the
+join key (8 buckets, sorted within buckets), then joins the bucketed
+tables and aggregates per-supplier revenue. Because both sides hash into
+the same bucket layout, the join needs NO shuffle exchange on either side
+— the physical plan goes scan → sort-merge join directly (asserted in
+tests/test_bucketing.py with broadcast disabled). This is THE lever for
+the 100 TB edge-derivation join (``graph/edges.py``): every GNN pass
+re-joins lineitem ⋈ orders, and bucketing converts that recurring shuffle
+of the biggest table into a one-time layout cost at ingest.
+
+The oracle runs the same join + aggregate over the ORIGINAL tables, so a
+row lost or duplicated by the bucketed write/read round-trip cannot
+hash-match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table, table_path
+
+N_BUCKETS = 8
+
+
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one bucketed layout per fixture generation: digest the source files'
+    # identity so a changed fixture can never serve stale buckets
+    sig = ":".join(
+        f"{t}:{os.stat(table_path(sf_dir, t)).st_mtime_ns}"
+        for t in ("lineitem", "orders")
+    )
+    digest = hashlib.md5(f"v1:{sf_dir}:{sig}".encode()).hexdigest()[:12]
+    db = f"graft_bucketed_{digest}"
+    wh = os.path.join(tempfile.gettempdir(), f"graft_bucketed_wh_{digest}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
+    catalog = spark.catalog
+    if not catalog.tableExists(f"{db}.lineitem_b"):
+        # a fresh session's in-memory catalog won't know tables a previous
+        # session materialized at this location — clear the stale files so
+        # the managed-table CREATE doesn't refuse the occupied path
+        shutil.rmtree(os.path.join(wh, "lineitem_b"), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+    if not catalog.tableExists(f"{db}.orders_b"):
+        shutil.rmtree(os.path.join(wh, "orders_b"), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey")
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(f"{db}.orders_b")
+        )
+    li_b = spark.table(f"{db}.lineitem_b")
+    o_b = spark.table(f"{db}.orders_b")
+    joined = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+    return joined.groupBy(F.col("l_suppkey").alias("supplier")).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+QUERIES = {"sink_bucketed_join": sink_bucketed_join}
+
+ORACLE = {
+    "sink_bucketed_join": """
+        SELECT l_suppkey AS supplier,
+               round(sum(l_extendedprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey
+    """,
+}

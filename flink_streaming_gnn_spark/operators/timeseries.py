@@ -145,14 +145,58 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of the daily load per event type — the
+    stationarity / weekly-seasonality diagnostic run before fitting any
+    forecasting model. Shape: one hash agg to the daily grain (the shuffle
+    carries per-(type, day) partials, never raw events), then both lag
+    columns ride ONE window sort on (type, day), then a second tiny agg
+    computes the two Pearson correlations from |types|×|days| rows. The
+    output is |event_types| rows at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.corr("x", "x1"), 6).alias("acf_lag1"),
+        F.round(F.corr("x", "x7"), 6).alias("acf_lag7"),
+    )
+
+
 QUERIES = {
     "rollup_hypertable_events": rollup_hypertable_events,
     "cdc_latest_snapshot": cdc_latest_snapshot,
     "ts_gapfill_resample": ts_gapfill_resample,
     "ts_downsample_ohlc": ts_downsample_ohlc,
+    "ts_autocorrelation": ts_autocorrelation,
 }
 
 ORACLE = {
+    "ts_autocorrelation": """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day, sum(value) AS x
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        lagged AS (
+            SELECT event_type, x,
+                   lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+                   lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(corr(x, x1), 6) AS acf_lag1,
+               round(corr(x, x7), 6) AS acf_lag7
+        FROM lagged GROUP BY event_type
+    """,
     "rollup_hypertable_events": """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                CAST(extract(hour FROM ts) AS BIGINT) AS hour,

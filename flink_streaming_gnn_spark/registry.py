@@ -79,6 +79,10 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.regression",
     "flink_streaming_gnn_spark.graph.assortativity",
     "flink_streaming_gnn_spark.llm.report",
+    "flink_streaming_gnn_spark.graph.clustering",
+    "flink_streaming_gnn_spark.graph.sagepool",
+    "flink_streaming_gnn_spark.operators.bitmaps",
+    "flink_streaming_gnn_spark.operators.bucketing",
     "flink_streaming_gnn_spark.operators.relational",
     "flink_streaming_gnn_spark.operators.joins",
     "flink_streaming_gnn_spark.operators.aggregates",
