@@ -387,8 +387,51 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SPAN_N = 16  # repeated-span window (tokens)
+
+
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus repeated-substring detection (the span-level dedup of
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, relationalized): every 16-token sliding span, hashed, grouped —
+    spans appearing in ≥ 2 distinct documents are the memorization-prone
+    cross-doc repeats a span-deduper would cut. Document-level dedup
+    (exact/minhash/simhash tiers) misses these: two mostly-different pages
+    sharing one boilerplate paragraph.
+
+    Shape: one explode to (doc, span-hash) — stride 1, so ~n_tokens rows
+    per doc — then ONE hash agg keyed on the 128-bit md5 (the span text
+    itself never shuffles), then a HAVING filter. At 100 TB this is the
+    same cost class as the tokenize/tf pipeline; the md5 keys are uniform,
+    so the shuffle has no skew by construction."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= SPAN_N)
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {SPAN_N - 1}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {SPAN_N}))))"
+            )
+        ).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_repeated_spans": dedup_repeated_spans,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -404,6 +447,28 @@ _DUCK_COS = (
 )
 
 ORACLE = {
+    "dedup_repeated_spans": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {SPAN_N}
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - {SPAN_N - 1}),
+                       i -> md5(array_to_string(t[i:i+{SPAN_N - 1}], ' '))))
+                       AS span_hash
+            FROM toks
+        )
+        SELECT span_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM spans
+        GROUP BY span_hash
+        HAVING count(DISTINCT doc_id) >= 2
+    """,
     "dedup_exact": """
         SELECT text,
                CAST(min(doc_id) AS BIGINT) AS canonical_id,

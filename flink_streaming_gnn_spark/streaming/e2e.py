@@ -115,14 +115,67 @@ def stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "session_e2e")
 
 
+def stream_gnn_sage_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's HEADLINE operator (A8 windowed GNN embedding layer)
+    run as a REAL multi-trigger stream at check time: timestamped edge
+    events replay as a file stream (maxFilesPerTrigger=2), the windowed
+    neighbor coalescing runs incrementally in the state store across
+    micro-batches, the static feature table joins into the stream, and the
+    Arrow-batched SAGE forward fires per trigger. The final complete-mode
+    emission equals the batch ``graph_sage_windowed`` — so the official
+    artifact hash-checks streaming GNN inference end-to-end, not just the
+    batch twin (the same equivalence is pinned as a pytest property in
+    tests/test_streaming_gnn.py)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_gnn_spark.sources.tables import load_table, table_path
+    from flink_streaming_gnn_spark.streaming.gnn import edges_v_with_ts, windowed_sage
+    from flink_streaming_gnn_spark.streaming.replay import run_to_completion
+
+    # chunked replay cache, keyed on fixture identity (replay.py discipline:
+    # stale fixtures must never serve old chunks), atomic-renamed into place
+    sig = ":".join(
+        f"{t}:{os.stat(table_path(sf_dir, t)).st_mtime_ns}"
+        for t in ("lineitem", "orders")
+    )
+    digest = hashlib.md5(f"v1:{sf_dir}:{sig}".encode()).hexdigest()[:12]
+    chunk_dir = os.path.join(tempfile.gettempdir(), f"gnn_edge_chunks_{digest}")
+    if not os.path.isdir(chunk_dir):
+        staging = tempfile.mkdtemp(prefix=f"gnn_edge_chunks_{digest}_")
+        edges_v_with_ts(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(
+            staging
+        )
+        try:
+            os.rename(staging, chunk_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("src_v long, dst_v long, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(chunk_dir)
+    )
+    features = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("feat")
+    )
+    return run_to_completion(windowed_sage(stream, features), "gnn_sage_e2e")
+
+
 QUERIES = {
     "stream_windowed_topk": stream_windowed_topk,
     "stream_cdc_snapshot": stream_cdc_snapshot,
     "stream_sliding_e2e": stream_sliding_e2e,
     "stream_session_e2e": stream_session_e2e,
+    "stream_gnn_sage_e2e": stream_gnn_sage_e2e,
 }
 
+from flink_streaming_gnn_spark.streaming.gnn import _windowed_oracle_sql
+
 ORACLE = {
+    # streamed windowed-SAGE final state == the batch windowed forward
+    "stream_gnn_sage_e2e": _windowed_oracle_sql(),
     # final complete-mode state after the last trigger == batch sliding agg
     "stream_sliding_e2e": """
         WITH slides AS (

@@ -221,6 +221,31 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # OLS: one mergeable agg pass after the equi-join
     "agg_linear_regression": ([r"HashAggregate", r"partial_regr"], [r"CartesianProduct"]),
     "graph_assortativity": ([r"HashAggregate"], [r"CartesianProduct"]),
+    # triangle readout: equi-joins only; explode feeds a hash agg
+    "graph_clustering_coefficient": (
+        [r"HashAggregate", r"Generate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
+    # max-pool layer: mergeable partial_max before the one dst shuffle; all JVM
+    "graph_sage_pool_layer": (
+        [r"HashAggregate", r"partial_max"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # ACF: daily partial agg, ONE window sort, tiny final agg — no join
+    "ts_autocorrelation": ([r"HashAggregate", r"Window"], [r"Join"]),
+    # range search: scorer + filter only — no shuffle at all after the scan
+    "simsearch_range_cosine": ([r"InPandas"], [r"Exchange", r"Join", r"Window"]),
+    # bitmap distinct: two agg levels (bucket bitmaps, then counts); no join
+    "agg_bitmap_distinct": ([r"HashAggregate"], [r"Join"]),
+    # bucketed join: the orderkey join must consume the bucketed layout
+    # directly — no Exchange on either join key (the later groupBy(supplier)
+    # legitimately shuffles once)
+    "sink_bucketed_join": (
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        [r"Exchange hashpartitioning\(l_orderkey", r"Exchange hashpartitioning\(o_orderkey"],
+    ),
+    # temperature mix: per-source aggs + broadcast-joined 1-row normalizers
+    "mix_temperature_sampling": ([r"HashAggregate"], [r"SortMergeJoin", r"EvalPython"]),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
