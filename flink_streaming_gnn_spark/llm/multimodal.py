@@ -97,6 +97,101 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppm_decode(blob: bytes):
+    """REAL P6 PPM decode, no imaging library: parse the ASCII header
+    (magic, width, height, maxval — comments skipped per spec), then view
+    the raw RGB payload as (h, w, 3) uint8. Works on any binary PPM file,
+    not just the synthetic ones below."""
+    import numpy as np
+
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixels
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode with a REAL format parser — the upgrade of
+    ``multimodal_decode_stub``'s faked innermost call: each asset is an
+    actual binary P6 PPM image (header + raw RGB), decoded by
+    ``ppm_decode`` (a genuine parser that handles any PPM file), then
+    reduced to per-channel means + luma. Only the *camera* is synthetic —
+    pixel (y, x, c) = (doc_id + 3y + 5x + 11c) mod 256 with per-doc
+    irregular dimensions — which is exactly what makes the whole
+    decode path oracle-checkable: DuckDB recomputes the same statistics
+    from the pixel formula, so a parser bug (header off-by-one, stride
+    error, channel swap) breaks the hash.
+
+    Plan shape: one Arrow-batched ``mapInPandas`` over the corpus — the
+    encode/decode runs where the data lives, no shuffle; output is one
+    row per asset."""
+    import types
+
+    # ship the parser BY VALUE: a module-level function pickles by
+    # reference (workers driven from a foreign cwd can't import this
+    # package — the driver_sim gotcha), so rebuild it as a dynamic
+    # function cloudpickle serializes whole. ppm_decode only uses
+    # builtins + a local numpy import, so empty globals suffice.
+    parse_ppm = types.FunctionType(
+        ppm_decode.__code__, {"__builtins__": __builtins__}, "parse_ppm"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out_rows: list[dict] = []
+        for pdf in batches:
+            out_rows.clear()
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = ((doc_id + 3 * y + 5 * x + 11 * c) % 256).astype(np.uint8)
+                blob = b"P6\n# synthetic camera\n%d %d\n255\n" % (w, h) + px.tobytes()
+                img = parse_ppm(blob)  # the REAL parser under test
+                n = w * h
+                means = [float(img[:, :, ch].sum()) / n for ch in range(3)]
+                out_rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "mean_r": round(means[0], 4),
+                        "mean_g": round(means[1], 4),
+                        "mean_b": round(means[2], 4),
+                        "mean_luma": round(
+                            0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2], 4
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double, mean_luma double",
+    )
+
+
 FRAME_SLOTS = 4
 FPS = 24
 
@@ -203,6 +298,7 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_image_tiles": multimodal_image_tiles,
     "multimodal_cols": multimodal_cols,
     "multimodal_audio_chunk": multimodal_audio_chunk,
@@ -212,6 +308,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    # recompute the synthetic camera's statistics from the pixel formula —
+    # any decoder bug (header parse, stride, channel order) breaks the hash
+    "multimodal_ppm_decode": """
+        WITH meta AS (
+            SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   (doc_id + 3*y.y + 5*x.x) % 256 AS r,
+                   (doc_id + 3*y.y + 5*x.x + 11) % 256 AS g,
+                   (doc_id + 3*y.y + 5*x.x + 22) % 256 AS b
+            FROM meta,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(h - 1 AS INT))) AS y) y,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(w - 1 AS INT))) AS x) x
+        ),
+        chan AS (
+            SELECT doc_id, w, h,
+                   sum(r) * 1.0 / (w * h) AS mr,
+                   sum(g) * 1.0 / (w * h) AS mg,
+                   sum(b) * 1.0 / (w * h) AS mb
+            FROM px GROUP BY doc_id, w, h
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               round(mr, 4) AS mean_r,
+               round(mg, 4) AS mean_g,
+               round(mb, 4) AS mean_b,
+               round(0.299 * mr + 0.587 * mg + 0.114 * mb, 4) AS mean_luma
+        FROM chan
+    """,
     "multimodal_image_tiles": f"""
         WITH meta AS (
             SELECT doc_id,

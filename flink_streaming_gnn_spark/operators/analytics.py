@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 
@@ -138,15 +139,96 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MB_MIN_CO = 3  # minimum co-occurrence support (absolute baskets)
+MB_TOP = 100
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the retail classic:
+    supplier pairs shipped in the same order scored by lift and
+    confidence). lift = N·co / (cnt_a·cnt_b): > 1 means the pair
+    co-occurs more than independence predicts.
+
+    Shape: distinct (basket, item) projection, item counts in one hash
+    agg, the pair join is the same orderkey wedge join as the graph
+    projection (bounded by per-order line counts, so linear in orders),
+    then two broadcast-gated count joins and a 1-row basket-total
+    cross-join. Top-{MB_TOP} by rounded lift with full deterministic
+    tiebreak. At 100 TB the pair space is pruned by the support filter
+    BEFORE the count joins — the standard a-priori trick."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    cnt = items.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    n_baskets = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    i2 = items.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("b"))
+    co = (
+        items.join(i2, (items.l_orderkey == i2.o2) & (items.l_suppkey < i2.b))
+        .groupBy(F.col("l_suppkey").alias("a"), "b")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= MB_MIN_CO)
+    )
+    cnt_a = maybe_broadcast(cnt.select(F.col("l_suppkey").alias("a"), F.col("cnt").alias("cnt_a")))
+    cnt_b = maybe_broadcast(cnt.select(F.col("l_suppkey").alias("b"), F.col("cnt").alias("cnt_b")))
+    scored = (
+        co.join(cnt_a, "a")
+        .join(cnt_b, "b")
+        .crossJoin(maybe_broadcast(n_baskets))
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("co").cast("long").alias("co_orders"),
+            F.round(
+                F.col("n_baskets") * F.col("co") / (F.col("cnt_a") * F.col("cnt_b")), 6
+            ).alias("lift"),
+            F.round(F.col("co") / F.col("cnt_a"), 6).alias("confidence"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "a", "b").limit(MB_TOP)
+
+
 QUERIES = {
     "agg_corr_covar": agg_corr_covar,
     "abc_pareto_class": abc_pareto_class,
     "win_distribution": win_distribution,
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
+    "market_basket_lift": market_basket_lift,
 }
 
 ORACLE = {
+    "market_basket_lift": f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ),
+        cnt AS (
+            SELECT l_suppkey, count(*) AS cnt FROM items GROUP BY l_suppkey
+        ),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+        co AS (
+            SELECT i1.l_suppkey AS a, i2.l_suppkey AS b, count(*) AS co
+            FROM items i1
+            JOIN items i2 ON i1.l_orderkey = i2.l_orderkey
+                         AND i1.l_suppkey < i2.l_suppkey
+            GROUP BY i1.l_suppkey, i2.l_suppkey
+            HAVING count(*) >= {MB_MIN_CO}
+        )
+        SELECT CAST(a AS BIGINT) AS a,
+               CAST(b AS BIGINT) AS b,
+               CAST(co AS BIGINT) AS co_orders,
+               round(n.n_baskets * co * 1.0 / (ca.cnt * cb.cnt), 6) AS lift,
+               round(co * 1.0 / ca.cnt, 6) AS confidence
+        FROM co
+        JOIN cnt ca ON ca.l_suppkey = co.a
+        JOIN cnt cb ON cb.l_suppkey = co.b
+        CROSS JOIN n
+        ORDER BY lift DESC, a, b
+        LIMIT {MB_TOP}
+    """,
     "abc_pareto_class": """
         WITH rev AS (
             SELECT l_suppkey,

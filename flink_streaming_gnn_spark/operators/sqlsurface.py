@@ -57,6 +57,40 @@ _SQL_LATERAL = """
 """
 
 
+# Spark SQL native PIVOT syntax (the wide-table entry point a BI user
+# writes; the engine plans it as the same Expand/conditional-agg shape as
+# the DataFrame groupBy().pivot()). DuckDB's PIVOT grammar differs, so the
+# oracle is the semantically-identical conditional aggregation — which is
+# also exactly what both engines lower PIVOT to.
+_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_SQL_PIVOT = f"""
+    SELECT * FROM (
+        SELECT user_id % 100 AS user_mod, event_type, value FROM events
+    )
+    PIVOT (
+        round(sum(value), 2) FOR event_type IN
+        ({", ".join(f"'{t}' AS {t}" for t in _TYPES)})
+    )
+"""
+
+_SQL_PIVOT_ORACLE = f"""
+    SELECT user_id % 100 AS user_mod,
+           {", ".join(
+               f"round(sum(value) FILTER (WHERE event_type = '{t}'), 2) AS {t}"
+               for t in _TYPES
+           )}
+    FROM events GROUP BY user_id % 100
+"""
+
+
+def sql_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_streaming_gnn_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIVOT)
+
+
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_gnn_spark.sources.tables import register_views
 
@@ -74,9 +108,11 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sql_recursive_cte": sql_recursive_cte,
     "sql_lateral_topn": sql_lateral_topn,
+    "sql_pivot_wide": sql_pivot_wide,
 }
 
 ORACLE = {
     "sql_recursive_cte": _SQL_RECURSIVE,
     "sql_lateral_topn": _SQL_LATERAL,
+    "sql_pivot_wide": _SQL_PIVOT_ORACLE,
 }

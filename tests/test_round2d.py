@@ -126,6 +126,22 @@ def test_temperature_mix_invariants(spark):
     assert 0.0 < MIX_ALPHA < 1.0
 
 
+def test_ppm_decode_parses_real_ppm_bytes():
+    """The parser must handle an arbitrary hand-written P6 file — comments,
+    multi-digit dims, exact pixel recovery — not just the synthetic camera."""
+    from flink_streaming_gnn_spark.llm.multimodal import ppm_decode
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)  # h=2, w=3
+    blob = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    img = ppm_decode(blob)
+    assert img.shape == (2, 3, 3)
+    assert (img == px).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ppm_decode(b"P5\n3 2\n255\n" + bytes(6))  # greyscale PGM rejected
+
+
 def test_bucketed_join_key_plan_has_no_join_exchange(spark):
     df = sink_bucketed_join(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
