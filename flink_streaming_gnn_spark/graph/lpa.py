@@ -121,6 +121,96 @@ def _lpa_oracle_sql(rounds: int = ROUNDS) -> str:
     return "".join(blocks)
 
 
-QUERIES = {"graph_label_propagation": graph_label_propagation}
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the quality score that
+    closes the community-detection loop (did propagation find structure,
+    or noise?). Q = Σ_c [e_c/m − (d_c/2m)²] over the undirected graph.
 
-ORACLE = {"graph_label_propagation": _lpa_oracle_sql()}
+    On this corpus the score is honestly NEGATIVE (−0.5): synchronous LPA
+    famously oscillates on bipartite graphs (Raghavan et al. §3), and after
+    an even round count each side of the purchase graph holds one label —
+    every edge crosses communities, so Q = −Σ(d_c/2m)² = −0.5 exactly for
+    two balanced sides. The operator reports it faithfully; the async/
+    semi-sync variant that breaks the oscillation is a scheduling change,
+    not a plan change.
+
+    Float discipline: everything accumulates in EXACT integer arithmetic —
+    Q_num = 2m·Σ(2e_c) / 2 ... folded to (2m·Σwithin_c − Σd_c²) with
+    within_c counting both edge directions — and the ONE floating division
+    happens at the end, so both engines produce the identical double and
+    round-6 is stable (a per-community float sum would be accumulation-
+    order-dependent). At extreme scale d_c² sums approach int64 range —
+    switch the two accumulators to DECIMAL(38) there; the plan shape
+    (two hash aggs + two broadcast-gated label joins) is unchanged."""
+    edges = _undirected(spark, sf_dir)
+    labels = lpa_labels(spark, sf_dir)
+    la = labels.select(F.col("v").alias("a"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("v").alias("b"), F.col("lbl").alias("lb"))
+    tagged = edges.join(la, "a").join(lb, "b")
+    within = tagged.filter(F.col("la") == F.col("lb")).agg(
+        F.count("*").alias("within")  # both directions: Σ 2e_c
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    d2 = (
+        deg.join(la, "a")
+        .groupBy("la")
+        .agg(F.sum("deg").alias("dc"))
+        .agg(
+            F.sum(F.col("dc") * F.col("dc")).alias("sum_d2"),
+            F.count("*").cast("long").alias("n_communities"),
+        )
+    )
+    two_m = edges.agg(F.count("*").alias("two_m"))
+    return (
+        within.crossJoin(d2)
+        .crossJoin(two_m)
+        .select(
+            "n_communities",
+            (F.col("two_m") / 2).cast("long").alias("n_edges"),
+            F.round(
+                (
+                    F.col("two_m") * F.col("within") - F.col("sum_d2")
+                ).cast("double")
+                / (F.col("two_m") * F.col("two_m")).cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+def _modularity_oracle_sql(rounds: int = ROUNDS) -> str:
+    lpa_blocks = _lpa_oracle_sql(rounds)
+    # reuse the mechanically-generated LPA CTEs; strip the final SELECT
+    head = lpa_blocks[: lpa_blocks.rindex("SELECT CAST(lbl AS BIGINT)")]
+    return f"""{head}
+        , lab AS (SELECT v, lbl FROM l{rounds}),
+        tagged AS (
+            SELECT ue.a, ue.b, la.lbl AS la, lb.lbl AS lb
+            FROM ue JOIN lab la ON la.v = ue.a
+                    JOIN lab lb ON lb.v = ue.b
+        ),
+        w AS (SELECT CAST(count(*) AS BIGINT) AS within
+              FROM tagged WHERE la = lb),
+        deg AS (SELECT a, count(*) AS deg FROM ue GROUP BY a),
+        dc AS (SELECT la.lbl, CAST(sum(deg.deg) AS BIGINT) AS dc
+               FROM deg JOIN lab la ON la.v = deg.a GROUP BY la.lbl),
+        d2 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sum_d2,
+                      CAST(count(*) AS BIGINT) AS n_communities
+               FROM dc),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM ue)
+        SELECT d2.n_communities,
+               CAST(m.two_m / 2 AS BIGINT) AS n_edges,
+               round(CAST(m.two_m * w.within - d2.sum_d2 AS DOUBLE)
+                     / CAST(m.two_m * m.two_m AS DOUBLE), 6) AS modularity
+        FROM w CROSS JOIN d2 CROSS JOIN m"""
+
+
+QUERIES = {
+    "graph_label_propagation": graph_label_propagation,
+    "graph_modularity": graph_modularity,
+}
+
+ORACLE = {
+    "graph_label_propagation": _lpa_oracle_sql(),
+    "graph_modularity": _modularity_oracle_sql(),
+}

@@ -171,15 +171,69 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap distribution (median / p90 seconds between
+    consecutive events, plus mean) — the arrival-process profile behind
+    session-gap and watermark tuning (the 30-minute session gap and the
+    10-minute watermark in streaming/ are exactly quantiles of this
+    distribution). One window sort per user for the lag, then one hash agg
+    with exact interpolated percentiles; gap rows are |events| − |users|,
+    the output |users| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gaps in EXACT integer microseconds (the fixture is micro-precision);
+    # the one float division happens after aggregation, so both engines
+    # interpolate percentiles over identical integers
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.avg("gap_us") / 1e6, 4).alias("mean_gap_s"),
+            F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 4).alias("p50_gap_s"),
+            F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 4).alias("p90_gap_s"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )
+
+
 QUERIES = {
     "rollup_hypertable_events": rollup_hypertable_events,
     "cdc_latest_snapshot": cdc_latest_snapshot,
     "ts_gapfill_resample": ts_gapfill_resample,
     "ts_downsample_ohlc": ts_downsample_ohlc,
     "ts_autocorrelation": ts_autocorrelation,
+    "ts_interarrival_stats": ts_interarrival_stats,
 }
 
 ORACLE = {
+    "ts_interarrival_stats": """
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+                       AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               round(avg(gap_us) / 1e6, 4) AS mean_gap_s,
+               round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_gap_s,
+               round(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_gap_s
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+        HAVING count(*) >= 3
+    """,
     "ts_autocorrelation": """
         WITH daily AS (
             SELECT event_type, date_trunc('day', ts) AS day, sum(value) AS x
