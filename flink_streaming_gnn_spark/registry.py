@@ -80,6 +80,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.assortativity",
     "flink_streaming_gnn_spark.llm.report",
     "flink_streaming_gnn_spark.graph.clustering",
+    "flink_streaming_gnn_spark.graph.scc",
     "flink_streaming_gnn_spark.graph.sagepool",
     "flink_streaming_gnn_spark.operators.bitmaps",
     "flink_streaming_gnn_spark.operators.bucketing",

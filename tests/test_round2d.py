@@ -126,6 +126,69 @@ def test_temperature_mix_invariants(spark):
     assert 0.0 < MIX_ALPHA < 1.0
 
 
+def test_scc_matches_tarjan(spark):
+    """graph_scc vs an iterative Tarjan on the collected edge list — the
+    mutual-reachability closure must produce exactly the classic SCC
+    partition (labels = min id per SCC)."""
+    from flink_streaming_gnn_spark.graph.scc import scc_labels
+
+    edges = [
+        (int(r.src_v), int(r.dst_v))
+        for r in derive_vertex_embeddings(spark, SF_SMOKE).distinct().collect()
+        if r.src_v != r.dst_v
+    ]
+    verts = sorted({v for e in edges for v in e})
+    adj: dict[int, list[int]] = {v: [] for v in verts}
+    for a, b in edges:
+        adj[a].append(b)
+    # iterative Tarjan
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    sccs: list[list[int]] = []
+    counter = [0]
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recursed = False
+            for i in range(pi, len(adj[v])):
+                w_ = adj[v][i]
+                if w_ not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w_, 0))
+                    recursed = True
+                    break
+                if w_ in on_stack:
+                    low[v] = min(low[v], index[w_])
+            if recursed:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w_ = stack.pop()
+                    on_stack.discard(w_)
+                    comp.append(w_)
+                    if w_ == v:
+                        break
+                sccs.append(comp)
+    expect = {v: min(comp) for comp in sccs for v in comp}
+    got = {int(r.v): int(r.scc) for r in scc_labels(spark, SF_SMOKE).collect()}
+    assert got == expect
+
+
 def test_ppm_decode_parses_real_ppm_bytes():
     """The parser must handle an arbitrary hand-written P6 file — comments,
     multi-digit dims, exact pixel recovery — not just the synthetic camera."""
