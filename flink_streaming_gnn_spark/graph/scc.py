@@ -78,6 +78,101 @@ def scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_OUTER = 12  # condensation-chain bound for the fixture graph
+MAX_INNER = 25  # propagation fixpoint bound (graph diameter)
+
+
+def scc_labels_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB SCC path — forward-backward coloring (Orzan-style), the
+    closure-free algorithm ``scc_labels``' docstring promises: per outer
+    round, (1) propagate min-reaching-id forward to fixpoint — color(v) =
+    min u that reaches v — so color classes partition the graph with the
+    class min as root; (2) mark vertices that reach their root BACKWARD
+    within their own color class — marked = FW ∩ BW = the root's whole
+    SCC, one SCC peeled per color simultaneously; (3) remove peeled
+    vertices and repeat on the remainder (outer rounds = longest chain in
+    the condensation, not #SCCs). State is one (vertex, color) row per
+    live vertex — never a reachability closure — and every step is the
+    same join+agg round shape as graph_connected_components, with the
+    localCheckpoint lineage discipline. Equality with the exact closure
+    labels is pinned in tests/test_round2d.py."""
+    edges_all = (
+        derive_vertex_embeddings(spark, sf_dir)
+        .distinct()
+        .select(F.col("src_v").alias("v"), F.col("dst_v").alias("u"))
+        .filter(F.col("v") != F.col("u"))
+        .localCheckpoint()
+    )
+    verts = (
+        edges_all.select("v")
+        .union(edges_all.select(F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    done_parts: list[DataFrame] = []
+    remaining, edges = verts, edges_all
+    for _ in range(MAX_OUTER):
+        # (1) forward min-reaching-id to fixpoint
+        color = remaining.withColumn("c", F.col("v")).localCheckpoint()
+        for _ in range(MAX_INNER):
+            nbr_min = (
+                edges.join(color.select(F.col("v").alias("src"), "c"),
+                           edges.v == F.col("src"))
+                .groupBy(F.col("u").alias("v2"))
+                .agg(F.min("c").alias("nc"))
+            )
+            new_color = (
+                color.join(nbr_min, color.v == nbr_min.v2, "left")
+                .select(
+                    "v", F.least(F.col("c"), F.coalesce("nc", F.col("c"))).alias("c")
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_color.alias("n")
+                .join(color.alias("o"), F.col("n.v") == F.col("o.v"))
+                .filter(F.col("n.c") != F.col("o.c"))
+                .count()
+            )
+            color = new_color
+            if changed == 0:
+                break
+        # (2) backward marking within color class, from each class root
+        marked = color.filter(F.col("v") == F.col("c")).select("v", "c").localCheckpoint()
+        for _ in range(MAX_INNER):
+            step = (
+                edges.join(marked.select(F.col("v").alias("dst"), "c"),
+                           edges.u == F.col("dst"))
+                .select(F.col("v").alias("mv"), "c")
+                .join(
+                    color.select(F.col("v").alias("mv"), F.col("c").alias("vc")),
+                    "mv",
+                )
+                .filter(F.col("c") == F.col("vc"))
+                .select(F.col("mv").alias("v"), "c")
+            )
+            new_marked = marked.union(step).distinct().localCheckpoint()
+            if new_marked.count() == marked.count():
+                marked = new_marked
+                break
+            marked = new_marked
+        done_parts.append(marked.select("v", F.col("c").alias("scc")))
+        # (3) peel and continue on the remainder
+        remaining = remaining.join(marked.select("v"), "v", "left_anti").localCheckpoint()
+        if remaining.isEmpty():
+            break
+        live = remaining.select("v")
+        edges = (
+            edges.join(live, "v")
+            .join(live.select(F.col("v").alias("u")), "u")
+            .localCheckpoint()
+        )
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SCC summary: label = min vertex id in the component, size."""
     labels = scc_labels(spark, sf_dir)

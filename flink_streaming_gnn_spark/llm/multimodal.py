@@ -192,6 +192,101 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wav_decode(blob: bytes):
+    """REAL RIFF/WAVE decode, no audio library: verify the RIFF container,
+    walk the chunk list (any order, unknown chunks skipped per spec), read
+    the fmt chunk (PCM, mono, 16-bit enforced) and view the data chunk as
+    int16 samples. Works on any standard PCM WAV file."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, samples = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1:
+                raise ValueError("only PCM supported")
+        elif cid == b"data":
+            if bits != 16 or channels != 1:
+                raise ValueError("only 16-bit mono supported")
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+SAMPLE_RATE = 16_000
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of ``multimodal_ppm_decode``: each asset is an actual
+    RIFF/WAVE file (16 kHz mono PCM16) built by a synthetic microphone —
+    sample[i] = ((doc_id·13 + i·7) mod 65536) − 32768 — decoded by
+    ``wav_decode`` (a genuine chunk-walking RIFF parser), then reduced to
+    duration / RMS / peak. The oracle recomputes the same statistics from
+    the sample formula, so a parser bug (chunk offset, endianness, width)
+    breaks the hash. One Arrow mapInPandas, no shuffle."""
+    import types
+
+    parse_wav = types.FunctionType(
+        wav_decode.__code__, {"__builtins__": __builtins__}, "parse_wav"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.clear()
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 160 + (doc_id % 7) * 80
+                i = np.arange(n)
+                pcm = (((doc_id * 13 + i * 7) % 65536) - 32768).astype("<i2")
+                data = pcm.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, SAMPLE_RATE, SAMPLE_RATE * 2, 2, 16)
+                blob = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                rate, samples = parse_wav(blob)  # the REAL parser under test
+                s = samples.astype(np.float64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": rate,
+                        "n_samples": len(samples),
+                        "duration_ms": len(samples) * 1000 // rate,
+                        "rms": round(float(np.sqrt((s * s).sum() / len(s))), 4),
+                        "peak": int(np.abs(samples.astype(np.int64)).max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id long, sample_rate long, n_samples long, duration_ms long, "
+        "rms double, peak long",
+    )
+
+
 FRAME_SLOTS = 4
 FPS = 24
 
@@ -299,6 +394,7 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_ppm_decode": multimodal_ppm_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_image_tiles": multimodal_image_tiles,
     "multimodal_cols": multimodal_cols,
     "multimodal_audio_chunk": multimodal_audio_chunk,
@@ -339,6 +435,24 @@ ORACLE = {
                round(mb, 4) AS mean_b,
                round(0.299 * mr + 0.587 * mg + 0.114 * mb, 4) AS mean_luma
         FROM chan
+    """,
+    "multimodal_wav_decode": f"""
+        WITH meta AS (
+            SELECT doc_id, 160 + (doc_id % 7) * 80 AS n FROM documents
+        ),
+        samples AS (
+            SELECT doc_id, n,
+                   ((doc_id * 13 + i.i * 7) % 65536) - 32768 AS s
+            FROM meta,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(n - 1 AS INT))) AS i) i
+        )
+        SELECT doc_id,
+               CAST({SAMPLE_RATE} AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // {SAMPLE_RATE} AS BIGINT) AS duration_ms,
+               round(sqrt(sum(s * s) * 1.0 / n), 4) AS rms,
+               CAST(max(abs(s)) AS BIGINT) AS peak
+        FROM samples GROUP BY doc_id, n
     """,
     "multimodal_image_tiles": f"""
         WITH meta AS (

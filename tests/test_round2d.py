@@ -189,6 +189,16 @@ def test_scc_matches_tarjan(spark):
     assert got == expect
 
 
+def test_scc_fb_coloring_equals_closure(spark):
+    """The closure-free 100 TB path (forward-backward coloring) must
+    produce the identical SCC partition as the exact closure method."""
+    from flink_streaming_gnn_spark.graph.scc import scc_labels, scc_labels_fb
+
+    a = {(int(r.v), int(r.scc)) for r in scc_labels(spark, SF_SMOKE).collect()}
+    b = {(int(r.v), int(r.scc)) for r in scc_labels_fb(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_ppm_decode_parses_real_ppm_bytes():
     """The parser must handle an arbitrary hand-written P6 file — comments,
     multi-digit dims, exact pixel recovery — not just the synthetic camera."""
@@ -203,6 +213,32 @@ def test_ppm_decode_parses_real_ppm_bytes():
 
     with _pytest.raises(ValueError):
         ppm_decode(b"P5\n3 2\n255\n" + bytes(6))  # greyscale PGM rejected
+
+
+def test_wav_decode_parses_real_riff_bytes():
+    """The RIFF parser must walk arbitrary chunk layouts — unknown chunks
+    skipped, word alignment honored — and recover exact PCM samples."""
+    import struct
+
+    from flink_streaming_gnn_spark.llm.multimodal import wav_decode
+
+    pcm = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"\x01\x02\x03"  # odd-sized chunk exercises word alignment
+    blob = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, samples = wav_decode(blob)
+    assert rate == 8000
+    assert (samples == pcm).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wav_decode(b"OggS" + bytes(40))
 
 
 def test_bucketed_join_key_plan_has_no_join_exchange(spark):
