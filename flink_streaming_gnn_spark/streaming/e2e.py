@@ -163,17 +163,81 @@ def stream_gnn_sage_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(windowed_sage(stream, features), "gnn_sage_e2e")
 
 
+DECAY_TAU_S = 6 * 3600.0  # 6-hour memory half-life scale
+
+
+def stream_decayed_memory_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARBITRARY-STATE streaming operator (applyInPandasWithState —
+    reference A5/A6's keyed state store) run as a real multi-trigger
+    stream at check time: the TGN-style exponentially decayed per-key
+    memory folds event-by-event inside the state store across
+    micro-batches, and because exponential decay composes, the final
+    emission per key equals the batch closed form Σ v·exp(−(t_last−t)/τ)
+    no matter how the replay was batched — which is what the DuckDB
+    oracle computes. This attests the keyed-state path end-to-end in the
+    official artifact (previously pytest-only)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_streaming_gnn_spark.streaming.replay import (
+        events_stream,
+        run_update_to_completion,
+    )
+    from flink_streaming_gnn_spark.streaming.stateful import incremental_decayed_sum
+
+    stream = events_stream(spark, sf_dir, files_per_trigger=2).select(
+        "user_id", "ts", "value"
+    )
+    out = run_update_to_completion(
+        incremental_decayed_sum(stream, "user_id", "value", "ts", DECAY_TAU_S),
+        "decayed_memory_e2e",
+    )
+    # final state per key = the emission at its max last_ts (monotone per
+    # key; a ts-boundary file split can emit twice at one last_ts — the
+    # larger accumulator is the later fold)
+    w = Window.partitionBy("key").orderBy(
+        F.col("last_ts_epoch").desc(), F.col("decayed_sum").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("key").cast("long").alias("user_id"),
+            F.round("decayed_sum", 4).alias("decayed_sum"),
+            F.round(F.col("last_ts_epoch") * 1e6).cast("long").alias("last_ts_us"),
+        )
+    )
+
+
 QUERIES = {
     "stream_windowed_topk": stream_windowed_topk,
     "stream_cdc_snapshot": stream_cdc_snapshot,
     "stream_sliding_e2e": stream_sliding_e2e,
     "stream_session_e2e": stream_session_e2e,
     "stream_gnn_sage_e2e": stream_gnn_sage_e2e,
+    "stream_decayed_memory_e2e": stream_decayed_memory_e2e,
 }
 
 from flink_streaming_gnn_spark.streaming.gnn import _windowed_oracle_sql
 
 ORACLE = {
+    # keyed-state decay fold final state == the batch closed form
+    "stream_decayed_memory_e2e": f"""
+        WITH ev AS (
+            SELECT user_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS ts_s
+            FROM events
+        ),
+        last AS (
+            SELECT user_id, max(ts_s) AS t_last FROM ev GROUP BY user_id
+        )
+        SELECT ev.user_id,
+               round(sum(ev.value * exp(-(last.t_last - ev.ts_s) / {DECAY_TAU_S})), 4)
+                   AS decayed_sum,
+               CAST(round(last.t_last * 1e6) AS BIGINT) AS last_ts_us
+        FROM ev JOIN last USING (user_id)
+        GROUP BY ev.user_id, last.t_last
+    """,
     # streamed windowed-SAGE final state == the batch windowed forward
     "stream_gnn_sage_e2e": _windowed_oracle_sql(),
     # final complete-mode state after the last trigger == batch sliding agg
