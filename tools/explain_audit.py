@@ -246,6 +246,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # temperature mix: per-source aggs + broadcast-joined 1-row normalizers
     "mix_temperature_sampling": ([r"HashAggregate"], [r"SortMergeJoin", r"EvalPython"]),
+    # real decoders: ONE Arrow mapInPandas pass, no shuffle, no row-mode Python
+    "multimodal_ppm_decode": ([r"InPandas"], [r"Exchange", r"Join", r"BatchEvalPython"]),
+    "multimodal_wav_decode": ([r"InPandas"], [r"Exchange", r"Join", r"BatchEvalPython"]),
+    # basket mining: pair generation and count joins are equi-joins; the
+    # only nested-loop is the broadcast of the 1-ROW basket-total scalar
+    "market_basket_lift": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"EvalPython"],
+    ),
+    # SQL PIVOT lowers to Expand/conditional agg — one scan, no join
+    "sql_pivot_wide": ([r"HashAggregate"], [r"Join"]),
+    # repeated spans: explode + ONE hash agg; span text never in the shuffle
+    "dedup_repeated_spans": ([r"Generate", r"HashAggregate"], [r"Join", r"EvalPython"]),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
