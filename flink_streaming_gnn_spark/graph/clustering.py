@@ -34,7 +34,16 @@ from flink_streaming_gnn_spark.graph.triangles import _supplier_edges
 
 
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _supplier_edges(spark, sf_dir)
+    # the projection feeds FOUR subtrees (degree + three wedge-join arms):
+    # materialize once so no arm recomputes the lineitem self-join. The
+    # 10× scale probe showed the remaining cost is the enumeration itself
+    # (the blown-up co-order projection is a quasi-clique: 4.5M edges over
+    # 10k suppliers, avg degree ~900, wedges ~Σdeg²≈4e9) — inherent to
+    # triangle readout on dense projections; the mitigations are the
+    # degree cap documented in graph/linkpred.py (hot baskets contribute
+    # O(deg²) wedges and little signal) and degree orientation for
+    # power-law shapes.
+    e = _supplier_edges(spark, sf_dir).localCheckpoint()
     # degree: each oriented edge contributes to both endpoints
     deg = (
         e.select(

@@ -191,7 +191,33 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("lift").desc(), "a", "b").limit(MB_TOP)
 
 
+def ts_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks (the
+    engagement-streak / uptime-island classic). The island key is the
+    row_number trick — ``day − rank(day)`` is constant exactly within a
+    consecutive run — so the whole analysis is one distinct, one window
+    rank, and two hash aggs, all riding the user_id partitioning; no
+    joins, no self-comparisons."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("max_streak"),
+    )
+
+
 QUERIES = {
+    "ts_active_streaks": ts_active_streaks,
     "agg_corr_covar": agg_corr_covar,
     "abc_pareto_class": abc_pareto_class,
     "win_distribution": win_distribution,
@@ -201,6 +227,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ts_active_streaks": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INT) AS grp
+            FROM days
+        ),
+        runs AS (
+            SELECT user_id, grp, count(*) AS len
+            FROM islands GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(sum(len) AS BIGINT) AS n_active_days,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(max(len) AS BIGINT) AS max_streak
+        FROM runs GROUP BY user_id
+    """,
     "market_basket_lift": f"""
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
