@@ -105,3 +105,37 @@ def test_kafka_builder_composes_until_source_resolution(spark):
             "value",
             "props",
         ]
+
+
+def test_connector_probe_and_guarded_builders(spark):
+    """Optional connectors (Delta/Iceberg/JDBC) must probe the classpath
+    honestly and fail with a precise error when absent — never an opaque
+    ClassNotFoundException mid-job."""
+    import pytest
+
+    from flink_streaming_gnn_spark.sources.connectors import (
+        ConnectorUnavailable,
+        connector_support,
+        read_delta,
+        read_iceberg,
+        read_jdbc,
+    )
+
+    support = {r.connector: r.available for r in connector_support(spark).collect()}
+    assert set(support) == {"delta", "iceberg", "jdbc-postgres"}
+    # this image ships none of the optional jars
+    for name, avail in support.items():
+        if not avail:
+            pass  # expected here; builders below must then raise cleanly
+    if not support["delta"]:
+        with pytest.raises(ConnectorUnavailable, match="delta-spark"):
+            read_delta(spark, "/tmp/nope")
+    if not support["iceberg"]:
+        with pytest.raises(ConnectorUnavailable, match="iceberg-spark-runtime"):
+            read_iceberg(spark, "cat.db.t")
+    if not support["jdbc-postgres"]:
+        with pytest.raises(ConnectorUnavailable, match="postgresql"):
+            read_jdbc(spark, "jdbc:postgresql://db/corp", "t")
+    # sharded-read contract: partition column requires bounds
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(spark, "jdbc:h2:mem:x", "t", partition_column="id")
