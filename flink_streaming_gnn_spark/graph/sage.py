@@ -161,6 +161,58 @@ def _sage_oracle_sql() -> str:
     """
 
 
+def _sage_2layer_oracle_sql() -> str:
+    """Exact SQL twin of the CHAINED forward (round-2 upgrade from
+    rows-only): layer 1 emitted UNROUNDED (both engines carry full f64
+    through the chain; only the final layer rounds), layer 2's 4-dim
+    neighbor mean and literal 4×4 heads are mechanical."""
+    w_self1, w_agg1 = sage_weights()
+    w_self2 = np.round(np.random.RandomState(44).randn(OUT_DIM, OUT_DIM) * 0.1, 6)
+    w_agg2 = np.round(np.random.RandomState(45).randn(OUT_DIM, OUT_DIM) * 0.1, 6)
+    g_cols = ",\n               ".join(
+        "greatest(0.0,"
+        f" list_dot_product(CAST(v.embedding AS DOUBLE[]), {_vec_literal(w_self1[i])})"
+        f" + list_dot_product(a.aggv, {_vec_literal(w_agg1[i])})) AS g{i + 1}"
+        for i in range(OUT_DIM)
+    )
+    b_cols = ", ".join(f"avg(h.g{i + 1}) AS b{i + 1}" for i in range(OUT_DIM))
+    h2_cols = ",\n               ".join(
+        "round(greatest(0.0, "
+        + " + ".join(
+            f"h.g{j + 1} * ({w_self2[i, j]!r}) + a.b{j + 1} * ({w_agg2[i, j]!r})"
+            for j in range(OUT_DIM)
+        )
+        + f"), 4) AS h{i + 1}"
+        for i in range(OUT_DIM)
+    )
+    return f"""
+        WITH {EDGES_V_CTE},
+        per_pos AS (
+            SELECT e.dst_v, p.pos, avg(CAST(em.embedding[p.pos] AS DOUBLE)) AS m
+            FROM edges_v e
+            JOIN embeddings em ON em.vec_id = e.src_v
+            CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) p
+            GROUP BY e.dst_v, p.pos
+        ),
+        agg1 AS (
+            SELECT dst_v, list(m ORDER BY pos) AS aggv FROM per_pos GROUP BY dst_v
+        ),
+        h1 AS (
+            SELECT v.vec_id,
+               {g_cols}
+            FROM embeddings v JOIN agg1 a ON v.vec_id = a.dst_v
+        ),
+        agg2 AS (
+            SELECT e.dst_v, {b_cols}
+            FROM edges_v e JOIN h1 h ON h.vec_id = e.src_v
+            GROUP BY e.dst_v
+        )
+        SELECT h.vec_id,
+               {h2_cols}
+        FROM h1 h JOIN agg2 a ON h.vec_id = a.dst_v
+    """
+
+
 QUERIES = {
     "graph_sage_layer": graph_sage_layer,
     "graph_sage_2layer": graph_sage_2layer,
@@ -168,5 +220,5 @@ QUERIES = {
 
 ORACLE = {
     "graph_sage_layer": _sage_oracle_sql(),
-    # graph_sage_2layer: rows-only (layer math pinned by the 1-layer oracle)
+    "graph_sage_2layer": _sage_2layer_oracle_sql(),
 }
