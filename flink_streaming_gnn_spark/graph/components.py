@@ -18,11 +18,11 @@ Vertex-id space: customer c and supplier s collide numerically, so
 customers map to 2c and suppliers to 2s+1 (disjoint evens/odds).
 
 Output is the deterministic per-component summary (label = min vertex id
-in component, size, customer/supplier breakdown). Rows-only in the driver
-(DuckDB's recursive-CTE twin materializes the full reachability relation —
-|V|² on the giant component — so no SQL oracle is viable); the operator is
-instead pinned exactly against a union-find reference implementation in
-tests/test_components.py.
+in component, size, customer/supplier breakdown). Round-2 upgrade: EXACT
+oracle — not via the |V|²-reachability recursive CTE (still off the
+table), but by unrolling the hash-min propagation itself to fixed
+MATERIALIZED rounds (linear per round; idempotent past the fixpoint).
+Union-find parity stays pinned in tests/test_components.py.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_streaming_gnn_spark.graph.edges import derive_edges
+from flink_streaming_gnn_spark.graph.edges import EDGES_CTE, derive_edges
 
 MAX_ROUNDS = 25
 
@@ -116,6 +116,51 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"graph_connected_components": graph_connected_components}
 
-# rows-only: see module docstring (recursive-CTE oracle is |V|^2 on the
-# giant component); exact-match vs union-find pinned in tests.
-ORACLE: dict[str, str] = {}
+CC_ORACLE_ROUNDS = 20  # ≥ fixture diameter; extra rounds are no-ops at fixpoint
+
+
+def _cc_oracle_sql(rounds: int = CC_ORACLE_ROUNDS) -> str:
+    """Round-2 upgrade from rows-only: the |V|²-reachability recursive CTE
+    stays off the table, but the HASH-MIN propagation itself unrolls to
+    fixed rounds of |V|-state min-joins (the LPA/k-core/PageRank trick) —
+    linear per round, exact once the unroll covers the diameter, and
+    harmless beyond it (min-propagation is idempotent at fixpoint). All
+    CTEs MATERIALIZED (each round referenced twice)."""
+    blocks = [
+        """de AS MATERIALIZED (
+            SELECT DISTINCT src * 2 AS a, dst * 2 + 1 AS b FROM edges
+        ),
+        ue AS MATERIALIZED (
+            SELECT a, b FROM de UNION ALL SELECT b AS a, a AS b FROM de
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT a AS v, a AS lbl FROM ue
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""nmin{r} AS MATERIALIZED (
+            SELECT ue.a, min(l.lbl) AS m
+            FROM ue JOIN l{r - 1} l ON l.v = ue.b
+            GROUP BY ue.a
+        ),
+        l{r} AS MATERIALIZED (
+            SELECT l.v, least(l.lbl, COALESCE(n.m, l.lbl)) AS lbl
+            FROM l{r - 1} l LEFT JOIN nmin{r} n ON n.a = l.v
+        )""")
+    body = ",\n        ".join(blocks)
+    return f"""
+        WITH {EDGES_CTE},
+        {body}
+        SELECT CAST(lbl AS BIGINT) AS component,
+               CAST(count(*) AS BIGINT) AS n_vertices,
+               CAST(sum(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_customers,
+               CAST(sum(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_suppliers
+        FROM l{rounds}
+        GROUP BY lbl
+        ORDER BY component
+    """
+
+
+ORACLE = {"graph_connected_components": _cc_oracle_sql()}

@@ -92,5 +92,58 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="side string, id long, score double, rank long")
 
 
+def _hits_oracle_sql(rounds: int = ROUNDS) -> str:
+    """Round-2 upgrade from rows-only: unrolled hub/authority half-rounds
+    with the L2 normalization as a 1-row scalar CTE per half-round, all
+    MATERIALIZED. Last-ulp float divergence only; round-6 stable."""
+    blocks = [
+        """e AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src, 1.0 AS h FROM e
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""araw{r} AS MATERIALIZED (
+            SELECT e.dst, sum(h.h) AS ar
+            FROM e JOIN h{r - 1} h ON h.src = e.src
+            GROUP BY e.dst
+        ),
+        na{r} AS (SELECT sqrt(sum(ar * ar)) AS s FROM araw{r}),
+        a{r} AS MATERIALIZED (
+            SELECT dst, ar / na{r}.s AS a FROM araw{r} CROSS JOIN na{r}
+        ),
+        hraw{r} AS MATERIALIZED (
+            SELECT e.src, sum(a.a) AS hr
+            FROM e JOIN a{r} a ON a.dst = e.dst
+            GROUP BY e.src
+        ),
+        nh{r} AS (SELECT sqrt(sum(hr * hr)) AS s FROM hraw{r}),
+        h{r} AS MATERIALIZED (
+            SELECT src, hr / nh{r}.s AS h FROM hraw{r} CROSS JOIN nh{r}
+        )""")
+    body = ",\n        ".join(blocks)
+    return f"""
+        WITH {body},
+        scores AS (
+            SELECT 'hub' AS side, src AS id, h AS score FROM h{rounds}
+            UNION ALL
+            SELECT 'authority' AS side, dst AS id, a AS score FROM a{rounds}
+        ),
+        ranked AS (
+            SELECT side, id, score,
+                   row_number() OVER (
+                       PARTITION BY side ORDER BY score DESC, id
+                   ) AS rn
+            FROM scores
+        )
+        SELECT side, CAST(id AS BIGINT) AS id,
+               round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 50
+    """
+
+
 QUERIES = {"graph_hits": graph_hits}
-ORACLE: dict[str, str] = {}  # rows-only: float fixpoint (numpy parity in tests)
+ORACLE = {"graph_hits": _hits_oracle_sql()}

@@ -74,5 +74,43 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _katz_oracle_sql(rounds: int = ROUNDS) -> str:
+    """Round-2 upgrade from rows-only: mechanically-unrolled attenuated
+    walk accumulation, every CTE MATERIALIZED (each round references the
+    previous state twice — inlining would double the plan per round).
+    Scores differ from Spark's only in last-ulp sum order; round-6 is
+    stable."""
+    from flink_streaming_gnn_spark.graph.edges import EDGES_V_CTE
+
+    blocks = [
+        f"""{EDGES_V_CTE},
+        e AS MATERIALIZED (SELECT DISTINCT src_v, dst_v FROM edges_v),
+        verts AS MATERIALIZED (
+            SELECT src_v AS v FROM e UNION SELECT dst_v AS v FROM e
+        ),
+        s0 AS MATERIALIZED (
+            SELECT v, 1.0 AS walk, 0.0 AS katz FROM verts
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""step{r} AS MATERIALIZED (
+            SELECT e.dst_v AS b, sum(s.walk * {ALPHA}) AS nw
+            FROM e JOIN s{r - 1} s ON s.v = e.src_v
+            GROUP BY e.dst_v
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT s.v,
+                   COALESCE(st.nw, 0.0) AS walk,
+                   s.katz + COALESCE(st.nw, 0.0) AS katz
+            FROM s{r - 1} s LEFT JOIN step{r} st ON st.b = s.v
+        )""")
+    body = ",\n        ".join(blocks)
+    return f"""
+        WITH {body}
+        SELECT CAST(v AS BIGINT) AS vertex, round(katz, 6) AS katz
+        FROM s{rounds}
+    """
+
+
 QUERIES = {"graph_katz_centrality": graph_katz_centrality}
-ORACLE: dict[str, str] = {}  # float fixpoint — numpy parity pinned in tests
+ORACLE = {"graph_katz_centrality": _katz_oracle_sql()}

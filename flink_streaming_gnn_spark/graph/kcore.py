@@ -11,10 +11,12 @@ fixpoint read is O(1) (a count), like components.py; rounds are bounded by
 the peeling depth, which is ≤ the degeneracy of the graph — small on
 real-world graphs.
 
-Rows-only key (iterative fixpoint is not single-statement SQL without a
-recursive CTE that DuckDB would evaluate quadratically on the dense
-projection); exact equality vs a sequential peeling reference is pinned in
-tests/test_new_ops.py at smoke scale.
+Round-2 upgrade: EXACT oracle via mechanically-unrolled peel rounds
+(the LPA trick) — peeling is monotone, so once the fixpoint is reached
+every further unrolled block is a no-op, and unrolling MORE rounds than
+needed is harmless. ORACLE_ROUNDS=10 comfortably covers the fixture's
+peeling depth (1–3 at verify scales; equality vs a sequential peeling
+reference stays pinned in tests/test_new_ops.py).
 """
 
 from __future__ import annotations
@@ -72,5 +74,45 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_vertices(spark, sf_dir).orderBy("v")
 
 
+ORACLE_ROUNDS = 10
+
+
+def _kcore_oracle_sql(k: int = K, rounds: int = ORACLE_ROUNDS) -> str:
+    # each round references its predecessor (and keep{r}) TWICE; DuckDB
+    # inlines un-materialized CTEs per reference, so the plan doubles per
+    # round (2^rounds base scans — manifested as fd exhaustion at round
+    # 10). AS MATERIALIZED pins every round to ONE evaluation.
+    blocks = [
+        """e0 AS MATERIALIZED (
+            SELECT a AS v, b AS o FROM pairs
+            UNION ALL SELECT b AS v, a AS o FROM pairs
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""keep{r} AS MATERIALIZED (
+            SELECT v FROM (SELECT v, count(*) AS deg FROM e{r - 1} GROUP BY v)
+            WHERE deg >= {k}
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT e.v, e.o FROM e{r - 1} e
+            WHERE e.v IN (SELECT v FROM keep{r})
+              AND e.o IN (SELECT v FROM keep{r})
+        )""")
+    body = ",\n        ".join(blocks)
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+            FROM lineitem l1
+            JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+        ),
+        {body}
+        SELECT CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS core_deg
+        FROM e{rounds}
+        GROUP BY v
+        ORDER BY v
+    """
+
+
 QUERIES = {"graph_kcore": graph_kcore}
-ORACLE: dict[str, str] = {}  # rows-only: see module docstring
+ORACLE = {"graph_kcore": _kcore_oracle_sql()}

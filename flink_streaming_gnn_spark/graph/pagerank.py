@@ -121,5 +121,59 @@ def _is_verify_scale(sf_dir: str) -> bool:
         return False
 
 
+def _pagerank_oracle_sql(rounds: int = ROUNDS // 2) -> str:
+    """Round-2 upgrade from rows-only: mechanically-unrolled power
+    iteration (the LPA/k-core trick). Generated for the VERIFY-scale round
+    count (oracles only ever run at sf0.01); every CTE is MATERIALIZED —
+    each round references its predecessor twice (contribs + dangling), so
+    un-materialized inlining would double the plan per round. Ranks differ
+    from Spark's only in final-ulp float accumulation order; the key
+    rounds to 6 dp at magnitudes ~1/|V|, so the hash is stable."""
+    d = DAMPING
+    blocks = [
+        """e AS MATERIALIZED (
+            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        verts AS MATERIALIZED (
+            SELECT a AS v FROM e UNION SELECT b AS v FROM e
+        ),
+        n AS (SELECT count(*) AS n FROM verts),
+        out_deg AS MATERIALIZED (
+            SELECT a, count(*) AS deg FROM e GROUP BY a
+        ),
+        r0 AS MATERIALIZED (
+            SELECT v, 1.0 / n.n AS rank FROM verts CROSS JOIN n
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""contrib{r} AS MATERIALIZED (
+            SELECT e.b, sum(p.rank / od.deg) AS in_sum
+            FROM e JOIN out_deg od ON od.a = e.a
+                   JOIN r{r - 1} p ON p.v = e.a
+            GROUP BY e.b
+        ),
+        dang{r} AS MATERIALIZED (
+            SELECT COALESCE(sum(rank), 0.0) AS dm
+            FROM r{r - 1} WHERE v NOT IN (SELECT a FROM out_deg)
+        ),
+        r{r} AS MATERIALIZED (
+            SELECT verts.v,
+                   (1.0 - {d}) / n.n + {d} * dang{r}.dm / n.n
+                   + {d} * COALESCE(c.in_sum, 0.0) AS rank
+            FROM verts
+            LEFT JOIN contrib{r} c ON c.b = verts.v
+            CROSS JOIN n CROSS JOIN dang{r}
+        )""")
+    body = ",\n        ".join(blocks)
+    return f"""
+        WITH {body}
+        SELECT CAST(v AS BIGINT) AS v, round(rank, 6) AS rank
+        FROM r{rounds}
+        ORDER BY round(rank, 6) DESC, v
+        LIMIT 100
+    """
+
+
 QUERIES = {"graph_pagerank": graph_pagerank}
-ORACLE: dict[str, str] = {}  # rows-only: see module docstring
+ORACLE = {"graph_pagerank": _pagerank_oracle_sql()}

@@ -374,7 +374,63 @@ _KNN_SQL = f"""
     FROM ranked WHERE rank <= {TOP_K}
 """
 
+def _ivf_oracle_sql() -> str:
+    """Round-2 upgrade from rows-only: the IVF tier is fully deterministic
+    (seeded DATA-INDEPENDENT centroids → embeddable as SQL literals; JVM
+    argmax assignment; top-3 probe cells; exact re-rank), so the oracle
+    recomputes the identical index and search. Cell ranking = row_number
+    over the 16 exploded (cell, dot) pairs per vector — the same
+    best-first order as the Spark array_sort (score desc, index asc)."""
+    cents = ivf_centroids()
+    cell_rows = ",\n                ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cell, cv) AS (
+            VALUES {cell_rows}
+        ),
+        scored_cells AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS s,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                       c.cell
+                   ) AS cr
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id AS cand_id, embedding AS c_emb, cell
+            FROM scored_cells WHERE cr = 1
+        ),
+        probe_cells AS (
+            SELECT vec_id AS probe_id, embedding AS p_emb, cell
+            FROM scored_cells WHERE vec_id < {N_PROBES} AND cr <= 3
+        ),
+        pairs AS (
+            SELECT p.probe_id, a.cand_id,
+                   (list_dot_product(CAST(p.p_emb AS DOUBLE[]), CAST(a.c_emb AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(p.p_emb AS DOUBLE[]), CAST(p.p_emb AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(a.c_emb AS DOUBLE[]), CAST(a.c_emb AS DOUBLE[])))))
+                       AS cos
+            FROM probe_cells p JOIN assigned a USING (cell)
+            WHERE p.probe_id <> a.cand_id
+        ),
+        ranked AS (
+            SELECT probe_id, cand_id, cos,
+                   row_number() OVER (
+                       PARTITION BY probe_id ORDER BY cos DESC, cand_id
+                   ) AS rank
+            FROM pairs
+        )
+        SELECT probe_id, cand_id, round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
 ORACLE = {
+    "simsearch_ivf": _ivf_oracle_sql(),
     "simsearch_range_cosine": f"""
         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                round({_DUCK_COS_PC}, 6) AS cos
