@@ -192,28 +192,50 @@ def _near_dup_pairs(d: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document, fully JVM-side:
-    xxhash64 each token, then per bit position sum(+1/−1) over tokens and
-    take the sign. Identical texts get identical fingerprints; near-dups
-    land within a small hamming ball (candidates = equal fingerprint or
-    banded prefixes). Rows-only (engine-specific hash; properties pinned
-    by tests)."""
+    """64-bit SimHash fingerprint per document, fully JVM-side: hash each
+    distinct token, then per bit position sum(+1/−1) over tokens and take
+    the sign. Identical texts get identical fingerprints; near-dups land
+    within a small hamming ball (candidates = equal fingerprint or banded
+    prefixes).
+
+    Round-2 upgrade from rows-only: the token hash is the first 64 bits of
+    ``md5`` (engine-neutral — the original xxhash64 had no DuckDB twin;
+    SimHash only needs A uniform hash, not a specific one), decoded nibble
+    by nibble (hex digit k, bit j), and the fingerprint is emitted as a
+    16-char hex string (no 64-bit sign-bit overflow games in either
+    engine). Exactly oracle-checked; hamming-ball properties stay pinned
+    in tests."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
-    tok = tok.withColumn("h", F.xxhash64("t"))
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    ).withColumn("hx", F.md5("t"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
+            F.when(
+                F.shiftright(
+                    F.conv(F.substring("hx", k, 1), 16, 10).cast("int"), j
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{k}_{j}")
+        for k in range(1, 17)
+        for j in range(4)
     ]
     per_doc = tok.groupBy("doc_id").agg(*bit_sums)
-    fp = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return per_doc.select("doc_id", fp.alias("simhash"))
+    def _nibble(k: int) -> F.Column:
+        val = sum(
+            (
+                F.when(F.col(f"s{k}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(1, 4)
+            ),
+            F.when(F.col(f"s{k}_0") > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return F.lower(F.conv(val.cast("string"), 10, 16))
+
+    return per_doc.select(
+        "doc_id", F.concat(*[_nibble(k) for k in range(1, 17)]).alias("simhash")
+    )
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,7 +468,41 @@ _DUCK_COS = (
     " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))"
 )
 
+def _simhash_oracle_sql() -> str:
+    """Nibble-decoded md5 SimHash twin: hex digit k → strpos-1, bit j →
+    shift+mask, ±1 sums, sign bits reassembled into the hex fingerprint."""
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, {k}, 1)) - 1)"
+        f" >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}_{j}"
+        for k in range(1, 17)
+        for j in range(4)
+    )
+    nibbles = " || ".join(
+        "substr('0123456789abcdef', ("
+        + " + ".join(
+            f"(CASE WHEN s{k}_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+        )
+        + ") + 1, 1)"
+        for k in range(1, 17)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   md5(unnest(list_distinct(string_split(text, ' ')))) AS hx
+            FROM documents
+        ),
+        sums AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, {nibbles} AS simhash
+        FROM sums
+    """
+
+
 ORACLE = {
+    "dedup_simhash": _simhash_oracle_sql(),
     "dedup_repeated_spans": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t
