@@ -67,9 +67,60 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("vec_id", F.round("scale", 6).alias("scale"), *q)
 
 
+def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus — the
+    distributed moment pass of PCA/whitening (the d×d eigensolve that
+    follows is a driver-side numpy call on this dimension-bounded result,
+    the classic big-data PCA split).
+
+    Spark-first shape: two chained posexplodes (i, then j ≥ i) feed one
+    hash agg on (i, j) — the d² expansion never reaches the shuffle
+    because partial aggregation holds at most d(d+1)/2 accumulators per
+    task; the exchange moves ~2080 rows regardless of corpus size. Means
+    (d rows) and the count (1 row) are dimension-bounded, so their
+    broadcasts are static — not the scale-dependent kind gated by
+    maybe_broadcast. CPU is O(N·d²), inherent to Gram computation.
+    """
+    d = _feat(spark, sf_dir)
+    n_df = d.agg(F.count("*").cast("double").alias("n"))
+    ex = d.select("e", F.posexplode("e").alias("i", "xi"))
+    means = (
+        ex.groupBy("i")
+        .agg(F.sum("xi").alias("s"))
+        .crossJoin(F.broadcast(n_df))
+        .select("i", (F.col("s") / F.col("n")).alias("mean"))
+    )
+    pairs = (
+        ex.select("i", "xi", F.posexplode("e").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sp"))
+    )
+    mi = means.select(F.col("i"), F.col("mean").alias("mean_i"))
+    mj = means.select(F.col("i").alias("j"), F.col("mean").alias("mean_j"))
+    return (
+        pairs.crossJoin(F.broadcast(n_df))
+        .join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            # + 0.0 normalizes IEEE -0.0 (a rounded tiny negative) to 0.0
+            # so both engines stringify identically
+            (
+                F.round(
+                    F.col("sp") / F.col("n") - F.col("mean_i") * F.col("mean_j"), 6
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
 QUERIES = {
     "emb_l2_normalize": emb_l2_normalize,
     "emb_quantize_int8": emb_quantize_int8,
+    "emb_pca_covariance": emb_pca_covariance,
 }
 
 _NORM_COLS = ",\n               ".join(
@@ -81,6 +132,29 @@ _QUANT_COLS = ",\n               ".join(
 )
 
 ORACLE = {
+    "emb_pca_covariance": """
+        WITH d AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        ex AS (
+            SELECT vec_id, gs.i - 1 AS i, e[gs.i] AS x
+            FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS i) gs
+        ),
+        means AS (
+            SELECT i, sum(x) / n.n AS mean FROM ex CROSS JOIN n GROUP BY i, n.n
+        ),
+        pairs AS (
+            SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY a.i, b.i
+        )
+        SELECT CAST(pairs.i AS BIGINT) AS i, CAST(pairs.j AS BIGINT) AS j,
+               round(sp / n.n - mi.mean * mj.mean, 6) + 0.0 AS cov
+        FROM pairs CROSS JOIN n
+        JOIN means mi ON mi.i = pairs.i
+        JOIN means mj ON mj.i = pairs.j
+    """,
     "emb_l2_normalize": f"""
         WITH d AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

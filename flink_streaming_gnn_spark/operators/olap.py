@@ -63,9 +63,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"agg_mode": agg_mode, "agg_histogram": agg_histogram}
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) with GROUPING_ID — the third
+    member of the multi-grouping family (grouping sets: agg_grouping_sets;
+    ROLLUP: rollup_hypertable_events). One Expand + one hash agg pass:
+    Spark expands each input row into the 4 cube cells map-side, partial
+    aggregation collapses them before the (tiny, cell-count-bounded)
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+QUERIES = {
+    "agg_mode": agg_mode,
+    "agg_histogram": agg_histogram,
+    "agg_cube": agg_cube,
+}
 
 ORACLE = {
+    "agg_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
     "agg_mode": """
         WITH counts AS (
             SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

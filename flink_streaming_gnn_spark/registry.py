@@ -53,6 +53,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.curation",
     "flink_streaming_gnn_spark.llm.pipeline",
     "flink_streaming_gnn_spark.graph.bfs",
+    "flink_streaming_gnn_spark.graph.closeness",
     "flink_streaming_gnn_spark.graph.lpa",
     "flink_streaming_gnn_spark.graph.components",
     "flink_streaming_gnn_spark.graph.pagerank",
