@@ -53,10 +53,20 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_best(fn, runs: int = 2) -> float:
+def _time_best(fn, runs: int = 2, spark=None) -> float:
     """Best-of-N wall time: a single 32-thread JVM runs dozens of
     materializations per bench, so any one timing can eat a GC pause;
-    min-of-2 reports warm steady-state (both engines get it)."""
+    min-of-2 reports warm steady-state (both engines get it).
+
+    Explicit System.gc() before the timed runs: Spark's ContextCleaner
+    releases per-query broadcast/shuffle state only after a driver GC
+    processes the weak references, and a large heap can go many queries
+    between collections — measured: after the ten blown-corpus warmups,
+    an un-GC'd session times the cheapest scan+agg at 4–11 s vs 0.5 s
+    right after a collection. Standard JVM bench hygiene, applied outside
+    the timed region (DuckDB gets its own clean connection)."""
+    if spark is not None:
+        spark.sparkContext._jvm.System.gc()
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -150,7 +160,9 @@ def _bench_blownup(spark, queries, sf_dir: str, replicas: int) -> dict:
         _materialize(queries[name](spark, blown))
     spark_t: dict[str, float] = {}
     for name in HEADLINE:
-        spark_t[name] = _time_best(lambda: _materialize(queries[name](spark, blown)))
+        spark_t[name] = _time_best(
+            lambda: _materialize(queries[name](spark, blown)), spark=spark
+        )
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -201,7 +213,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = _time_best(lambda: _materialize(queries[name](spark, sf_dir)))
+        timings[name] = _time_best(
+            lambda: _materialize(queries[name](spark, sf_dir)), spark=spark
+        )
 
     payload = {
         "metric": "headline_total_wall",

@@ -93,8 +93,36 @@ def graph_partition_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucketed degree histogram — the power-law diagnostic read
+    before choosing a partitioner (HDRF's whole premise is a skewed
+    degree distribution; this is the query that shows it). Two hash aggs:
+    per-vertex distinct-neighbor degree, then a bucket rollup whose key
+    count is log-bounded (≤64 buckets at any scale).
+
+    The bucket is floor(log2(degree)) computed EXACTLY as
+    ``length(bin(degree)) - 1`` — integer bit-length arithmetic, because
+    float log2 differs between engines at exact powers of two (Spark's
+    log2 is log(x)/log(2), which can land at 2.9999… where libm's log2
+    returns 3.0)."""
+    e = derive_edges(spark, sf_dir)
+    deg = e.groupBy("dst").agg(F.countDistinct("src").alias("deg"))
+    return (
+        deg.withColumn(
+            "bucket", (F.length(F.bin(F.col("deg"))) - 1).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+    )
+
+
 QUERIES = {
     "graph_degree": graph_degree,
+    "graph_degree_distribution": graph_degree_distribution,
     "graph_1hop_agg": graph_1hop_agg,
     "graph_2hop_agg": graph_2hop_agg,
     "graph_2hop_neighbor_agg": graph_2hop_agg,  # BASELINE.md headline name
@@ -116,6 +144,17 @@ _TWO_HOP_SQL = f"""
 """
 
 ORACLE = {
+    "graph_degree_distribution": f"""
+        WITH {EDGES_CTE},
+        deg AS (
+            SELECT dst, count(DISTINCT src) AS deg FROM edges GROUP BY dst
+        )
+        SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_vertices,
+               CAST(min(deg) AS BIGINT) AS min_deg,
+               CAST(max(deg) AS BIGINT) AS max_deg
+        FROM deg GROUP BY length(bin(deg)) - 1
+    """,
     "graph_degree": f"""
         WITH {EDGES_CTE}
         SELECT dst AS vertex,

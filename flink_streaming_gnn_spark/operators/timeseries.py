@@ -206,16 +206,130 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the gap-filled daily grid — the two-sided
+    companion of ``ts_gapfill_resample``'s LOCF: missing days get the
+    straight line between the previous and next observed daily average
+    (pandas ``interpolate(method='time')`` semantics on a daily grid).
+
+    Same one-pass-over-raw-events shape as gapfill, plus two windows on
+    the already-(user)-partitioned grid: last-observed (value, day) looking
+    back and first-observed looking forward; the blend is pure per-row
+    arithmetic on identical inputs in both engines, so it ships unrounded
+    (rounding per-row deterministic floats only invents mismatches).
+    Span boundaries are observed days by construction, so interior gaps
+    always have both anchors; the coalesce fallbacks are belt-and-braces.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("day_avg")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    g = cal.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_avg").isNotNull(), F.col("day"))
+    g = g.select(
+        "user_id",
+        "day",
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("day_avg", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd").cast(
+        "double"
+    )
+    interp = (
+        F.when(F.col("day_avg").isNotNull(), F.col("day_avg"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return g.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_avg",
+        interp.alias("interp_avg"),
+    )
+
+
 QUERIES = {
     "rollup_hypertable_events": rollup_hypertable_events,
     "cdc_latest_snapshot": cdc_latest_snapshot,
     "ts_gapfill_resample": ts_gapfill_resample,
+    "ts_linear_interpolate": ts_linear_interpolate,
     "ts_downsample_ohlc": ts_downsample_ohlc,
     "ts_autocorrelation": ts_autocorrelation,
     "ts_interarrival_stats": ts_interarrival_stats,
 }
 
 ORACLE = {
+    "ts_linear_interpolate": """
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   round(avg(value), 6) AS day_avg
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        ),
+        span AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+        ),
+        cal AS (
+            SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        ),
+        g AS (
+            SELECT c.user_id, c.day, d.day_avg
+            FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+        ),
+        anchored AS (
+            SELECT user_id, day, day_avg,
+                   last_value(day_avg IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pv,
+                   last_value(CASE WHEN day_avg IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pd,
+                   first_value(day_avg IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nv,
+                   first_value(CASE WHEN day_avg IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nd
+            FROM g
+        )
+        SELECT user_id,
+               strftime(day, '%Y-%m-%d') AS day,
+               day_avg,
+               CASE WHEN day_avg IS NOT NULL THEN day_avg
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv)
+                         * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                            / CAST(date_diff('day', pd, nd) AS DOUBLE))
+               END AS interp_avg
+        FROM anchored
+    """,
     "ts_interarrival_stats": """
         WITH gaps AS (
             SELECT user_id,

@@ -48,6 +48,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.linkpred",
     "flink_streaming_gnn_spark.graph.kcore",
     "flink_streaming_gnn_spark.operators.timeseries",
+    "flink_streaming_gnn_spark.operators.fuzzy",
     "flink_streaming_gnn_spark.operators.analytics",
     "flink_streaming_gnn_spark.streaming.joins",
     "flink_streaming_gnn_spark.llm.curation",

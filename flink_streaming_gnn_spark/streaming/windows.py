@@ -14,7 +14,7 @@ overlapping 15-min slides, session = 30-min lag-gap chains.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
@@ -74,18 +74,44 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap (BASELINE
-    ``sessionize_approx``). Spark merges events whose gap is strictly less
-    than 30 min; session end = last event + gap."""
+    ``sessionize_approx``). A new session opens when the gap since the
+    previous event is >= 30 min; identical semantics to Spark's
+    ``session_window`` (which ``stream_session_e2e`` uses on the real
+    stream, where state-store merging is the point).
+
+    Batch path is gaps-and-islands, not the native ``session_window``
+    operator: one exchange on user_id, a lag to mark boundaries and a
+    running sum to number sessions (both windows ride the same sort),
+    then the session aggregate reuses the partitioning. Measured at the
+    sf~1 bench corpus (10M events): 4 s steady-state vs 10–43 s for the
+    UpdatingSessions-based native operator, whose per-row session-bound
+    expansion + re-sort dominate — and vs 15 s for DuckDB's identical
+    gaps-and-islands SQL. Boundary determinism: equal-timestamp ties
+    within a user land in the same session whatever their sort order (a
+    zero gap never opens a session), so the result is partition- and
+    order-invariant."""
     ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when((epoch - F.lag(epoch).over(w)) >= 1800, 1).otherwise(0).alias(
+            "new_sess"
+        ),
+    )
+    sess = marked.withColumn("sid", F.sum("new_sess").over(w))
     return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        sess.groupBy("user_id", "sid")
         .agg(
+            F.min("ts").alias("start"),
             F.count("*").cast("long").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             "user_id",
-            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             "n_events",
             "sum_value",
         )

@@ -190,6 +190,31 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # embedding prep is map-only: zero exchanges, zero joins, zero Python
     "emb_l2_normalize": ([], [r"Exchange", r"Join", r"EvalPython", r"InPandas"]),
     "emb_quantize_int8": ([], [r"Exchange", r"Join", r"EvalPython", r"InPandas"]),
+    # covariance moments: the d² posexplode expansion must collapse in a
+    # partial HashAggregate before any exchange; the mean/count joins are
+    # dimension-bounded broadcasts, never a shuffle join or Python
+    "emb_pca_covariance": (
+        [r"Generate", r"HashAggregate", r"BroadcastHashJoin|BroadcastNestedLoopJoin"],
+        [r"SortMergeJoin", r"EvalPython", r"InPandas"],
+    ),
+    # CUBE: one Expand feeding one hash agg — no join, no Python, and no
+    # Union-of-groupbys fallback
+    "agg_cube": (
+        [r"Expand", r"HashAggregate"],
+        [r"Union", r"Join", r"EvalPython", r"InPandas"],
+    ),
+    # blocked fuzzy match: the self-join must be an equi-join on the block
+    # key (sorted-neighborhood blocking), never an all-pairs product; the
+    # levenshtein filter is JVM-side
+    "fuzzy_match_levenshtein": (
+        [r"Join"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython", r"InPandas"],
+    ),
+    # interpolation: calendar Generate + anchor windows, no Python
+    "ts_linear_interpolate": (
+        [r"Generate", r"Window"],
+        [r"EvalPython", r"InPandas", r"CartesianProduct"],
+    ),
     # rewritten candidate generator: minhash sigs in one hash agg over the
     # exploded shingles, band join is an equi-join — all JVM
     "dedup_ngram_jaccard": (
