@@ -58,6 +58,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.lpa",
     "flink_streaming_gnn_spark.graph.components",
     "flink_streaming_gnn_spark.graph.pagerank",
+    "flink_streaming_gnn_spark.graph.ppr",
     "flink_streaming_gnn_spark.graph.hits",
     "flink_streaming_gnn_spark.streaming.sources",
     "flink_streaming_gnn_spark.sources.formats",

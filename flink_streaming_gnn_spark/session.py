@@ -49,6 +49,14 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
         )
+        # ContextCleaner only releases per-query broadcast/shuffle state
+        # after a driver GC processes the weak references; with a 24g heap
+        # a session can go MANY queries between collections and later
+        # queries slow 10× under the accumulated state (measured in
+        # bench.py — see _time_best). The default periodicGC.interval of
+        # 30min is tuned for clusters, not a 200-query single-JVM session;
+        # 2min keeps the cleaner fed with negligible pause cost.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # ANSI mode off: engine follows classic Spark SQL null-on-error
