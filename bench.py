@@ -58,17 +58,17 @@ def _time_best(fn, runs: int = 2, spark=None) -> float:
     materializations per bench, so any one timing can eat a GC pause;
     min-of-2 reports warm steady-state (both engines get it).
 
-    Explicit System.gc() before the timed runs: Spark's ContextCleaner
+    Explicit System.gc() before EACH timed run: Spark's ContextCleaner
     releases per-query broadcast/shuffle state only after a driver GC
     processes the weak references, and a large heap can go many queries
     between collections — measured: after the ten blown-corpus warmups,
     an un-GC'd session times the cheapest scan+agg at 4–11 s vs 0.5 s
     right after a collection. Standard JVM bench hygiene, applied outside
     the timed region (DuckDB gets its own clean connection)."""
-    if spark is not None:
-        spark.sparkContext._jvm.System.gc()
     best = float("inf")
     for _ in range(runs):
+        if spark is not None:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
@@ -194,6 +194,121 @@ def _bench_blownup(spark, queries, sf_dir: str, replicas: int) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# ×100 amortization probe (round-2 VERDICT, next-round #4): one more decade
+# on the THREE worst-ratio ×10 queries (semi_anti 18.9×, dedup_exact 8.9×,
+# text_tokenize_tf 8.2× — all fixed-overhead-dominated: their Spark times
+# grew sublinearly with 10× data). Only the tables those queries touch are
+# re-replicated (customer/orders for the NOT-IN anti-join; documents for the
+# two text queries), built FROM the ×10 corpus with a second-decade key
+# stride — 10 union branches instead of a 1000-branch plan.
+
+PROBE100 = ("semi_anti", "dedup_exact", "text_tokenize_tf")
+_PROBE100_TABLES = {
+    "customer": ("c_custkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "documents": ("doc_id",),
+}
+# x10 keys reach 100 copies × 1e8 = 1e10; the second decade shifts above that
+_KEY_SHIFT2 = 100_000_000_000
+
+
+def _build_blownup100(spark, blown10: str, factor: int = 10) -> str:
+    from pyspark.sql import functions as F
+
+    digest = os.path.basename(blown10.rstrip("/")).rsplit("_", 1)[-1]
+    out_dir = os.path.join(tempfile.gettempdir(), f"graft_blown100_{digest}")
+    if os.path.isdir(out_dir):
+        return out_dir
+    staging = tempfile.mkdtemp(
+        prefix=f"graft_blown100_{digest}_", dir=tempfile.gettempdir()
+    )
+    for t, cols in _PROBE100_TABLES.items():
+        df = spark.read.parquet(os.path.join(blown10, f"{t}.parquet"))
+        copies = []
+        for i in range(factor):
+            d = df
+            for c in cols:
+                d = d.withColumn(c, (F.col(c) + F.lit(i * _KEY_SHIFT2)).cast("long"))
+            copies.append(d)
+        out = copies[0]
+        for p in copies[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(staging, f"{t}.parquet")
+        )
+    try:
+        os.rename(staging, out_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return out_dir
+
+
+def _bench_blownup100(spark, queries, sf_dir: str, replicas: int) -> dict:
+    """Time PROBE100 in both engines on the ×(replicas×10) corpus. The
+    sf_dir handed to the Spark queries mixes ×100 probe tables with ×10
+    leftovers, which is safe: each probe query touches only its own
+    re-replicated tables (see _PROBE100_TABLES)."""
+    import duckdb
+
+    blown10 = _build_blownup(spark, sf_dir, replicas)
+    blown100 = _build_blownup100(spark, blown10)
+    # Spark side reads per-table paths via load_table(sf_dir=...): build a
+    # merged view dir with symlinks so probe tables resolve to ×100 and the
+    # rest to ×10.
+    merged = blown100 + "_merged"
+    if not os.path.isdir(merged):
+        staging = tempfile.mkdtemp(prefix="graft_merged_", dir=tempfile.gettempdir())
+        for t in TABLES:
+            src = os.path.join(
+                blown100 if t in _PROBE100_TABLES else blown10, f"{t}.parquet"
+            )
+            os.symlink(src, os.path.join(staging, f"{t}.parquet"))
+        try:
+            os.rename(staging, merged)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    oracle = registry.all_oracle_sql()
+
+    for name in PROBE100:  # warm
+        _materialize(queries[name](spark, merged))
+    spark_t: dict[str, float] = {}
+    for name in PROBE100:
+        spark_t[name] = _time_best(
+            lambda: _materialize(queries[name](spark, merged)), spark=spark
+        )
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("customer", "orders", "documents"):
+        files = sorted(glob.glob(os.path.join(blown100, f"{t}.parquet", "*.parquet")))
+        flist = ", ".join(f"'{f}'" for f in files)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{flist}])")
+    for name in PROBE100:  # warm
+        con.execute(oracle[name]).fetchall()
+    duck_t: dict[str, float] = {}
+    for name in PROBE100:
+        duck_t[name] = _time_best(lambda: con.execute(oracle[name]).fetchall())
+    con.close()
+
+    total_s, total_d = sum(spark_t.values()), sum(duck_t.values())
+    return {
+        "replicas": replicas * 10,
+        "tables": sorted(_PROBE100_TABLES),
+        "note": "x100 probe on the 3 worst x10-ratio queries; same parquet, "
+        "same algorithm both engines (oracle SQL)",
+        "spark": spark_t,
+        "duckdb": duck_t,
+        "ratio": {
+            n: (round(spark_t[n] / duck_t[n], 3) if duck_t[n] > 0 else None)
+            for n in PROBE100
+        },
+        "total_spark": round(total_s, 4),
+        "total_duckdb": round(total_d, 4),
+        "total_ratio": round(total_s / total_d, 3) if total_d > 0 else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -231,6 +346,10 @@ def main() -> None:
             payload["sf1x10"] = _bench_blownup(spark, queries, sf_dir, replicas)
         except Exception as exc:  # amortization section is additive evidence
             payload["sf1x10"] = {"error": str(exc)[:500]}
+        try:
+            payload["sf1x100"] = _bench_blownup100(spark, queries, sf_dir, replicas)
+        except Exception as exc:
+            payload["sf1x100"] = {"error": str(exc)[:500]}
 
     print(json.dumps(payload))
 

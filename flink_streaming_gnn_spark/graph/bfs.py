@@ -63,11 +63,14 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         levels = levels.union(nxt).localCheckpoint()
         frontier = nxt
-    out = levels.select(
+    # return the final checkpointed frame directly: it is already
+    # lineage-free (localCheckpoint) and data-sized, so it must NEVER
+    # round-trip through the driver (an O(|V|) collect is a driver OOM at
+    # 100 TB); intermediate round frames go out of scope here and the
+    # ContextCleaner reclaims their blocks without materializing anything
+    return levels.select(
         F.col("v").cast("long").alias("v"), F.col("level").cast("long").alias("level")
     )
-    rows = out.collect()
-    return spark.createDataFrame(rows, schema="v long, level long")
 
 
 QUERIES = {"graph_bfs_levels": graph_bfs_levels}

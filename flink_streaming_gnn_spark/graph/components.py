@@ -90,7 +90,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer/supplier split — deterministic, so invariant tests can pin it
     exactly against union-find."""
     labels = cc_labels(spark, sf_dir)
-    out = (
+    return (
         labels.groupBy("lbl")
         .agg(
             F.count("*").cast("long").alias("n_vertices"),
@@ -105,13 +105,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
-    # materialize the component-sized summary and release the loop's cache
-    # (iterative operators must not pin round-frames past their fixpoint)
-    rows = out.collect()
-    labels.unpersist()
-    return spark.createDataFrame(
-        rows, schema="component long, n_vertices long, n_customers long, n_suppliers long"
-    )
+    # the summary is built directly on the final checkpointed labels frame
+    # (lineage-free, so no recompute risk); worst-case #components is
+    # O(|V|), so the result must never be collected to the driver —
+    # intermediate round frames are reclaimed by the ContextCleaner once
+    # they go out of scope
 
 
 QUERIES = {"graph_connected_components": graph_connected_components}

@@ -34,40 +34,36 @@ def kcore_vertices(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
     """Vertices of the k-core with their degree inside the core."""
     # undirected: materialize both directions once, peel on (v, other)
     e = _supplier_edges(spark, sf_dir)
-    und = (
+    # eager localCheckpoint per round (components.py discipline): each
+    # round references the previous frame twice (degree agg + semi-join
+    # filters), the checkpoint is lineage-free so nothing recomputes, and
+    # the ContextCleaner reclaims out-of-scope round frames — no manual
+    # persist/unpersist bookkeeping, and no driver-side materialization of
+    # the (worst-case O(|V|)) core result
+    cur = (
         e.select(F.col("a").alias("v"), F.col("b").alias("o"))
         .union(e.select(F.col("b").alias("v"), F.col("a").alias("o")))
-        .persist()
+        .localCheckpoint()
     )
-    n_prev = und.count()
-    try:
-        cur = und
-        for _ in range(MAX_ROUNDS):
-            keep = (
-                cur.groupBy("v")
-                .agg(F.count("*").alias("deg"))
-                .filter(F.col("deg") >= k)
-                .select("v")
-            )
-            nxt = (
-                cur.join(keep, "v", "left_semi")
-                .join(keep.select(F.col("v").alias("o")), "o", "left_semi")
-                .persist()
-            )
-            n_cur = nxt.count()  # O(1) fixpoint read, materializes the round
-            if cur is not und:
-                cur.unpersist()
-            cur = nxt
-            if n_cur == n_prev:
-                break
-            n_prev = n_cur
-        out = cur.groupBy("v").agg(F.count("*").cast("long").alias("core_deg"))
-        rows = out.collect()  # |core| rows — summary-sized
-        if cur is not und:
-            cur.unpersist()
-        return spark.createDataFrame(rows, schema="v long, core_deg long")
-    finally:
-        und.unpersist()
+    n_prev = cur.count()
+    for _ in range(MAX_ROUNDS):
+        keep = (
+            cur.groupBy("v")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("v")
+        )
+        nxt = (
+            cur.join(keep, "v", "left_semi")
+            .join(keep.select(F.col("v").alias("o")), "o", "left_semi")
+            .localCheckpoint()
+        )
+        n_cur = nxt.count()  # O(1) fixpoint read (rows already materialized)
+        cur = nxt
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    return cur.groupBy("v").agg(F.count("*").cast("long").alias("core_deg"))
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:

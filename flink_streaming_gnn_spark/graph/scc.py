@@ -14,12 +14,13 @@ swapped keys + one min aggregate.
 Honest scale boundary: materializing the closure is O(|V|·reach) — exact
 and cheap in the 500-id embedding-vertex space (≤ 250k pairs), and
 exactly what makes the recursive-CTE oracle viable, but NOT the 100 TB
-path. At scale the standard algorithm is forward-backward coloring
-(Orzan / FB-trim): iterated forward-min + backward-min label passes —
-the same join+agg round shape as ``graph/components.py``, ~|V| state per
-round instead of the closure. The plan-shape lesson (per-round
-localCheckpoint against the 2^rounds re-analysis blowup) carries over
-unchanged.
+path. The REGISTERED ``graph_scc`` plan therefore runs the scale-safe
+forward-backward coloring (Orzan / FB-trim, ``scc_labels_fb``): iterated
+forward-min + backward-min label passes — the same join+agg round shape
+as ``graph/components.py``, ~|V| state per round instead of the closure.
+``scc_labels`` (the closure) remains as the independent test twin; label
+equality is pinned in tests. The plan-shape lesson (per-round
+localCheckpoint against the 2^rounds re-analysis blowup) applies to both.
 """
 
 from __future__ import annotations
@@ -174,8 +175,15 @@ def scc_labels_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-SCC summary: label = min vertex id in the component, size."""
-    labels = scc_labels(spark, sf_dir)
+    """Per-SCC summary: label = min vertex id in the component, size.
+
+    Registered plan is the closure-free forward–backward coloring
+    (``scc_labels_fb``) — the 100 TB path: per-round state is one
+    (vertex, color) row per live vertex, never the O(|V|·reach)
+    reachability closure. The closure variant (``scc_labels``) stays as
+    the test twin; label equality between the two is pinned in
+    tests/test_round2d.py, so the oracle hash-match carries over."""
+    labels = scc_labels_fb(spark, sf_dir)
     return labels.groupBy(F.col("scc").cast("long").alias("scc")).agg(
         F.count("*").cast("long").alias("n_vertices")
     )

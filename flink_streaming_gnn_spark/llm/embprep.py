@@ -138,8 +138,13 @@ ORACLE = {
         ),
         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
         ex AS (
+            -- range bound derived from the fixture itself (max len(e)),
+            -- not hard-coded: the Spark side is dimension-generic via
+            -- posexplode, so a fixture dimension change must change both
+            -- sides in lockstep instead of silently truncating the oracle
             SELECT vec_id, gs.i - 1 AS i, e[gs.i] AS x
-            FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS i) gs
+            FROM d CROSS JOIN
+                 (SELECT unnest(range(1, (SELECT max(len(e)) FROM d) + 1)) AS i) gs
         ),
         means AS (
             SELECT i, sum(x) / n.n AS mean FROM ex CROSS JOIN n GROUP BY i, n.n

@@ -25,35 +25,63 @@ the replay exactly-once.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_streaming_gnn_spark.sources.tables import table_path
 from flink_streaming_gnn_spark.streaming.cdc import read_snapshot, run_cdc_apply
 from flink_streaming_gnn_spark.streaming.topk import TOP_K, run_windowed_topk
 
 
+def _sink_dir(name: str, sf_dir: str) -> str:
+    """Digest-keyed, REUSED sink dir (operators/sinks.py discipline):
+    repeated driver checks must not litter /tmp with one mkdtemp per call.
+    Keyed on fixture identity (path + events mtime) so a regenerated
+    fixture never serves a stale sink; the caller runs the stream into a
+    staging dir and atomically renames it into place, so an existing dir
+    is always a COMPLETE previous run and can be read directly."""
+    sig = os.stat(table_path(sf_dir, "events")).st_mtime_ns
+    digest = hashlib.md5(f"v1:{sf_dir}:{sig}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{name}_{digest}")
+
+
 def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stream to completion, return the sink as a lazy scan — no
-    driver materialization (the sink dir outlives the call; checkpoints
-    are deleted once drained)."""
-    out = tempfile.mkdtemp(prefix="stream_topk_out_")
-    ckpt = tempfile.mkdtemp(prefix="stream_topk_ckpt_")
-    try:
-        run_windowed_topk(spark, sf_dir, out, ckpt)
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    driver materialization. The sink dir is digest-keyed and reused across
+    calls (stream runs once per fixture); checkpoints are deleted once
+    drained."""
+    out = _sink_dir("stream_topk_out", sf_dir)
+    if not os.path.isdir(out):
+        staging = tempfile.mkdtemp(prefix="stream_topk_out_staging_")
+        ckpt = tempfile.mkdtemp(prefix="stream_topk_ckpt_")
+        try:
+            run_windowed_topk(spark, sf_dir, staging, ckpt)
+            try:
+                os.rename(staging, out)
+            except OSError:  # concurrent run won the rename
+                shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out)
 
 
 def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    log = tempfile.mkdtemp(prefix="stream_cdc_log_")
-    ckpt = tempfile.mkdtemp(prefix="stream_cdc_ckpt_")
-    try:
-        run_cdc_apply(spark, sf_dir, log, ckpt)
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    log = _sink_dir("stream_cdc_log", sf_dir)
+    if not os.path.isdir(log):
+        staging = tempfile.mkdtemp(prefix="stream_cdc_log_staging_")
+        ckpt = tempfile.mkdtemp(prefix="stream_cdc_ckpt_")
+        try:
+            run_cdc_apply(spark, sf_dir, staging, ckpt)
+            try:
+                os.rename(staging, log)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return read_snapshot(spark, log)
 
 

@@ -92,14 +92,20 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-invariant."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # gap at FULL timestamp precision: unix_micros is exact integer
+    # microseconds, matching both the native session_window operator and
+    # the oracle's interval comparison — unix_timestamp truncates to whole
+    # seconds, which flips a session split whenever a gap straddles the
+    # 30-min boundary within 1s (≈1 such gap already at sf0.1)
+    # (fixture ts is TIMESTAMP_NTZ; the cast is exact under the UTC session tz)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
     marked = ev.select(
         "user_id",
         "ts",
         "value",
-        F.when((epoch - F.lag(epoch).over(w)) >= 1800, 1).otherwise(0).alias(
-            "new_sess"
-        ),
+        F.when((epoch_us - F.lag(epoch_us).over(w)) >= 1800 * 1_000_000, 1)
+        .otherwise(0)
+        .alias("new_sess"),
     )
     sess = marked.withColumn("sid", F.sum("new_sess").over(w))
     return (
