@@ -1,0 +1,182 @@
+"""Landmark betweenness centrality — Brandes' algorithm (Brandes, "A
+Faster Algorithm for Betweenness Centrality", J. Math. Sociol. 2001) run
+from the deterministic landmark seed set, completing the centrality
+family (degree / closeness / harmonic / PageRank / Katz / HITS).
+
+Per seed s (same landmark density as ``graph/closeness.py``:
+``a % 1000 == 0`` in the disjoint 2c/2s+1 id space):
+
+* **forward**: labeled BFS to depth ``MAX_D`` carrying the shortest-path
+  COUNT ``σ(s,v)`` — at depth d, ``σ(s,v) = Σ σ(s,u)`` over depth-(d−1)
+  neighbors u (in an unweighted graph every depth-(d−1) neighbor is a
+  shortest-path predecessor). Same join+distinct+anti-join round shape as
+  closeness, one extra double riding the (s, v) state row.
+* **backward**: dependency accumulation from the deepest level down —
+  ``δ(s,u) = σ(s,u) · Σ_w (1 + δ(s,w)) / σ(s,w)`` over depth-(d+1)
+  neighbors w. Each descending level is one join + one hash agg on the
+  same (s, v) key, so the whole pass reuses one partitioning.
+* betweenness(v) = Σ_s δ(s,v) over seeds (v ≠ s), the Bader–Pich /
+  Eppstein–Wang landmark estimator of exact betweenness.
+
+Scale posture: state is (seed, vertex) rows like closeness — |seeds|
+bounded by the modulo density (cap at a constant landmark count at
+100 TB); every round shuffles on vertex id; the only driver reads are
+O(1) frontier counts; the result returns lazily (no collect). Depth is
+capped at ``MAX_D`` identically in both engines, so results agree on
+graphs wider than the cap (truncated/landmark betweenness is the
+documented semantic, as usual for this family at scale).
+
+Determinism: σ is an exact integer carried in doubles; δ is a sum of
+positive rationals (no cancellation), round-6 stable across engines —
+pinned against a from-scratch Python Brandes in tests/test_round3.py.
+The DuckDB oracle computes dist via a recursive CTE, then unrolls σ and
+δ per depth as MATERIALIZED blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.graph.edges import EDGES_CTE, derive_edges
+
+MAX_D = 4
+SEED_MOD = 1000  # a % 1000 == 0 in 2c-space ⇔ c_custkey % 500 == 0
+
+
+def _undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        derive_edges(spark, sf_dir)
+        .select((F.col("src") * 2).alias("a"), (F.col("dst") * 2 + 1).alias("b"))
+        .distinct()
+    )
+    return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex landmark betweenness: v, round(Σ_s δ(s,v), 6) over every
+    vertex reached at depth ≥ 1 from any seed (zeros included — no float
+    positivity filter to disagree on)."""
+    edges = _undirected(spark, sf_dir).localCheckpoint()
+    seeds = (
+        edges.select("a")
+        .distinct()
+        .filter((F.col("a") % SEED_MOD) == 0)
+        .select(F.col("a").alias("s"))
+    )
+    # forward: per-depth (s, v, sigma) frames; visited set for the anti-join
+    level0 = seeds.select("s", F.col("s").alias("v"), F.lit(1.0).alias("sigma"))
+    levels = [level0.localCheckpoint()]
+    visited = levels[0].select("s", "v").localCheckpoint()
+    for _ in range(1, MAX_D + 1):
+        frontier = levels[-1]
+        nxt = (
+            frontier.join(edges, frontier.v == edges.a)
+            .select("s", F.col("b").alias("v"), "sigma")
+            .join(visited, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:  # O(1) convergence read
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt.select("s", "v")).localCheckpoint()
+    # backward: δ per depth, deepest first (deepest level has δ = 0)
+    deltas: list[DataFrame] = [None] * len(levels)
+    deepest = len(levels) - 1
+    deltas[deepest] = levels[deepest].select(
+        "s", "v", F.lit(0.0).alias("delta")
+    ).localCheckpoint()
+    for d in range(deepest - 1, 0, -1):
+        nxt_contrib = (
+            deltas[d + 1]
+            .join(levels[d + 1].withColumnRenamed("sigma", "sigma_w"), ["s", "v"])
+            .join(edges, F.col("v") == edges.b)
+            .select(
+                "s",
+                F.col("a").alias("u"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma_w")).alias("m"),
+            )
+        )
+        lvl = levels[d]
+        deltas[d] = (
+            lvl.join(
+                nxt_contrib,
+                (lvl.s == nxt_contrib.s) & (lvl.v == nxt_contrib.u),
+                "left",
+            )
+            .groupBy(lvl.s.alias("s"), lvl.v.alias("v"), "sigma")
+            .agg(F.coalesce(F.sum("m"), F.lit(0.0)).alias("msum"))
+            .select("s", "v", (F.col("sigma") * F.col("msum")).alias("delta"))
+            .localCheckpoint()
+        )
+    if deepest == 0:
+        return spark.createDataFrame([], schema="v long, bc double")
+    acc = deltas[1]
+    for d in range(2, deepest + 1):
+        acc = acc.union(deltas[d])
+    return (
+        acc.groupBy("v")
+        .agg(F.round(F.sum("delta"), 6).alias("bc"))
+        .select(F.col("v").cast("long").alias("v"), "bc")
+    )
+
+
+def _betweenness_oracle_sql(max_d: int = MAX_D) -> str:
+    sig_blocks = [
+        """sig0 AS MATERIALIZED (
+            SELECT s, s AS v, 1.0 AS sigma FROM seeds
+        )"""
+    ]
+    for d in range(1, max_d + 1):
+        sig_blocks.append(f"""sig{d} AS MATERIALIZED (
+            SELECT dl.s, dl.v, sum(sp.sigma) AS sigma
+            FROM dist dl
+            JOIN ue ON ue.b = dl.v
+            JOIN sig{d - 1} sp ON sp.s = dl.s AND sp.v = ue.a
+            WHERE dl.d = {d}
+            GROUP BY dl.s, dl.v
+        )""")
+    del_blocks = [
+        f"""del{max_d} AS MATERIALIZED (
+            SELECT s, v, 0.0 AS delta FROM sig{max_d}
+        )"""
+    ]
+    for d in range(max_d - 1, 0, -1):
+        del_blocks.append(f"""del{d} AS MATERIALIZED (
+            SELECT su.s, su.v,
+                   su.sigma * COALESCE(sum((1.0 + dn.delta) / sw.sigma), 0.0)
+                       AS delta
+            FROM sig{d} su
+            LEFT JOIN ue ON ue.a = su.v
+            LEFT JOIN sig{d + 1} sw ON sw.s = su.s AND sw.v = ue.b
+            LEFT JOIN del{d + 1} dn ON dn.s = sw.s AND dn.v = sw.v
+            GROUP BY su.s, su.v, su.sigma
+        )""")
+    body = ",\n        ".join(sig_blocks + del_blocks)
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM del{d}" for d in range(1, max_d + 1)
+    )
+    return f"""
+        WITH RECURSIVE {EDGES_CTE},
+        de AS (SELECT DISTINCT src * 2 AS a, dst * 2 + 1 AS b FROM edges),
+        ue AS (SELECT a, b FROM de UNION ALL SELECT b, a FROM de),
+        seeds AS (SELECT DISTINCT a AS s FROM ue WHERE a % {SEED_MOD} = 0),
+        bfs(s, v, d) AS (
+            SELECT s, s, 0 FROM seeds
+            UNION
+            SELECT bfs.s, ue.b, bfs.d + 1
+            FROM bfs JOIN ue ON ue.a = bfs.v
+            WHERE bfs.d < {max_d}
+        ),
+        dist AS MATERIALIZED (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v),
+        {body}
+        SELECT CAST(v AS BIGINT) AS v, round(sum(delta), 6) AS bc
+        FROM ({union})
+        GROUP BY v
+    """
+
+
+QUERIES = {"graph_betweenness_landmark": graph_betweenness_landmark}
+ORACLE = {"graph_betweenness_landmark": _betweenness_oracle_sql()}

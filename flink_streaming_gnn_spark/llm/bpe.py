@@ -1,0 +1,154 @@
+"""BPE tokenizer training at corpus scale (SURVEY.md §2B LLM-pipeline
+family; Sennrich et al., "Neural Machine Translation of Rare Words with
+Subword Units", ACL 2016 — the byte-pair-encoding merge-rule learner
+behind GPT/LLaMA-style tokenizers).
+
+``tokenizer_bpe_train`` learns the first ``MERGES`` merge rules from the
+``documents`` corpus:
+
+1. ONE corpus-sized aggregation builds the word-frequency table — the
+   only pass that touches raw text (classic BPE trains on the word-freq
+   dict, not the corpus: HF tokenizers do exactly this).
+2. Each word becomes a space-separated character sequence
+   (``the → "t h e"``); per merge round, adjacent-token pairs are counted
+   weighted by word frequency (explode + hash agg over the |vocab|-sized
+   dict), the argmax pair (deterministic tiebreak: highest count, then
+   lexicographically smallest pair) becomes the next merge rule, and the
+   dict re-segments via a boundary-safe literal ``replace`` on the
+   space-padded sequence.
+
+Scale posture: after the initial word-count agg, every round is a
+map+agg over the distinct-word dict (≪ corpus; Heaps' law), and the only
+driver read per round is the 1-row argmax — the exact shape of
+distributed BPE training. Merge application is a zero-shuffle map.
+
+Determinism/parity: counts are exact integers; the pair tiebreak is an
+ASCII string compare; ``replace`` is leftmost non-overlapping in Spark,
+DuckDB, and Python alike (pinned against a from-scratch Python BPE in
+tests/test_round3.py). The DuckDB oracle unrolls the same rounds as
+MATERIALIZED CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+MERGES = 8
+
+
+def _word_freq_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wf = words.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    return wf.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"), "freq"
+    )
+
+
+def _pair_counts(dict_df: DataFrame) -> DataFrame:
+    parts = F.split("seq", " ")
+    zipped = F.arrays_zip(
+        F.slice(parts, 1, F.size(parts) - 1).alias("l"),
+        F.slice(parts, 2, F.size(parts) - 1).alias("r"),
+    )
+    return (
+        dict_df.select("freq", F.explode(zipped).alias("p"))
+        .select("freq", F.concat(F.col("p.l"), F.lit(" "), F.col("p.r")).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first MERGES BPE merge rules: (merge_rank, left_tok, right_tok,
+    merged, pair_freq)."""
+    dict_df = _word_freq_seqs(spark, sf_dir).localCheckpoint()
+    rules = []
+    for rank in range(1, MERGES + 1):
+        top = (
+            _pair_counts(dict_df)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()  # 1 row — the bounded argmax read of distributed BPE
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        merged = pair.replace(" ", "")
+        rules.append((rank, *pair.split(" "), merged, cnt))
+        # boundary-safe literal merge on the padded sequence; zero shuffle
+        dict_df = dict_df.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("seq"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules,
+        schema="merge_rank long, left_tok string, right_tok string, "
+        "merged string, pair_freq long",
+    )
+
+
+def _bpe_oracle_sql(merges: int = MERGES) -> str:
+    blocks = [
+        r"""wf AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        w0 AS MATERIALIZED (
+            SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq, freq
+            FROM wf
+        )"""
+    ]
+    for r in range(1, merges + 1):
+        blocks.append(f"""p{r} AS MATERIALIZED (
+            SELECT parts[i] || ' ' || parts[i + 1] AS pair,
+                   CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(range(1, len(string_split(seq, ' ')))) AS i,
+                       string_split(seq, ' ') AS parts, freq
+                FROM w{r - 1}
+            )
+            GROUP BY 1
+        ),
+        t{r} AS MATERIALIZED (
+            SELECT CAST({r} AS BIGINT) AS merge_rank, pair, cnt
+            FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+        ),
+        w{r} AS MATERIALIZED (
+            SELECT trim(replace(' ' || seq || ' ',
+                                ' ' || (SELECT pair FROM t{r}) || ' ',
+                                ' ' || (SELECT replace(pair, ' ', '') FROM t{r})
+                                    || ' ')) AS seq,
+                   freq
+            FROM w{r - 1}
+        )""")
+    body = ",\n        ".join(blocks)
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM t{r}" for r in range(1, merges + 1)
+    )
+    return f"""
+        WITH {body}
+        SELECT merge_rank,
+               split_part(pair, ' ', 1) AS left_tok,
+               split_part(pair, ' ', 2) AS right_tok,
+               replace(pair, ' ', '') AS merged,
+               cnt AS pair_freq
+        FROM ({union})
+    """
+
+
+QUERIES = {"tokenizer_bpe_train": tokenizer_bpe_train}
+ORACLE = {"tokenizer_bpe_train": _bpe_oracle_sql()}

@@ -84,6 +84,60 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSUM_SLACK = 0.5  # k: drift allowance in stddev units (Page's test)
+CUSUM_H = 5.0  # alarm threshold in stddev units
+
+
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM changepoint detection per user (two-sided): alarm rows
+    where the cumulative standardized drift exceeds H.
+
+    The textbook recurrence ``S_t = max(0, S_{t-1} + z_t − k)`` looks
+    sequential, but the standard identity ``S_t = cs_t − min(0, min_{j≤t}
+    cs_j)`` (cs = running sum of the drift terms) turns it into a running
+    sum + a running min — two window functions sharing ONE per-user sort,
+    all JVM, no recursion. The per-user baseline (mean/stddev) is an
+    unbounded window on the same partitioning. At 100 TB this is one
+    exchange on user_id and a per-partition sort; output is alarms only,
+    bounded. Upward and downward drifts are tracked symmetrically
+    (S_hi on z−k, S_lo on −z−k).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    part = Window.partitionBy("user_id")
+    seq = part.orderBy("ts", "event_id")
+    run = seq.rowsBetween(Window.unboundedPreceding, 0)
+    z = (F.col("value") - F.avg("value").over(part)) / F.stddev_samp("value").over(part)
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (z - CUSUM_SLACK).alias("d_hi"),
+        (-z - CUSUM_SLACK).alias("d_lo"),
+    )
+    cs = d.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("d_hi").over(run).alias("cs_hi"),
+        F.sum("d_lo").over(run).alias("cs_lo"),
+    )
+    s = cs.select(
+        "user_id",
+        "event_id",
+        (F.col("cs_hi") - F.least(F.lit(0.0), F.min("cs_hi").over(run))).alias("s_hi"),
+        (F.col("cs_lo") - F.least(F.lit(0.0), F.min("cs_lo").over(run))).alias("s_lo"),
+    )
+    return s.filter((F.col("s_hi") > CUSUM_H) | (F.col("s_lo") > CUSUM_H)).select(
+        "user_id",
+        "event_id",
+        F.round("s_hi", 4).alias("s_hi"),
+        F.round("s_lo", 4).alias("s_lo"),
+        F.when(F.col("s_hi") > CUSUM_H, F.lit("up")).otherwise(F.lit("down")).alias(
+            "direction"
+        ),
+    )
+
+
 def _ewma_oracle_sql() -> str:
     num_terms, den_terms = [], []
     for i in range(K):
@@ -104,6 +158,7 @@ def _ewma_oracle_sql() -> str:
 QUERIES = {
     "ts_ewma": ts_ewma,
     "ts_anomaly_zscore": ts_anomaly_zscore,
+    "ts_cusum_changepoint": ts_cusum_changepoint,
 }
 
 ORACLE = {
@@ -125,5 +180,35 @@ ORACLE = {
         FROM scored
         WHERE n_base >= {Z_MIN_N} AND sigma > 0
           AND abs((value - mu) / sigma) >= {Z_THRESH}
+    """,
+    "ts_cusum_changepoint": f"""
+        WITH z AS (
+            SELECT user_id, ts, event_id,
+                   (value - avg(value) OVER p) / stddev_samp(value) OVER p AS z
+            FROM events
+            WINDOW p AS (PARTITION BY user_id)
+        ),
+        cs AS (
+            SELECT user_id, ts, event_id,
+                   sum(z - {CUSUM_SLACK}) OVER w AS cs_hi,
+                   sum(-z - {CUSUM_SLACK}) OVER w AS cs_lo
+            FROM z
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        s AS (
+            SELECT user_id, event_id,
+                   cs_hi - least(0.0, min(cs_hi) OVER w) AS s_hi,
+                   cs_lo - least(0.0, min(cs_lo) OVER w) AS s_lo
+            FROM cs
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id,
+               round(s_hi, 4) AS s_hi,
+               round(s_lo, 4) AS s_lo,
+               CASE WHEN s_hi > {CUSUM_H} THEN 'up' ELSE 'down' END AS direction
+        FROM s
+        WHERE s_hi > {CUSUM_H} OR s_lo > {CUSUM_H}
     """,
 }

@@ -99,6 +99,10 @@ _MODULES = (
     "flink_streaming_gnn_spark.functions.arrays",
     "flink_streaming_gnn_spark.functions.maps",
     "flink_streaming_gnn_spark.functions.jsonfns",
+    # --- round-3 additions ---
+    "flink_streaming_gnn_spark.functions.variantfns",
+    "flink_streaming_gnn_spark.llm.bpe",
+    "flink_streaming_gnn_spark.graph.betweenness",
 )
 
 
