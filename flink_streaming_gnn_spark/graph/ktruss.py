@@ -1,0 +1,123 @@
+"""k-truss decomposition by iterative support peeling (SURVEY.md §2B
+graph algorithms family — the triangle-density community filter; Cohen
+2008, the standard distributed formulation: recompute edge support,
+drop edges with support < k−2, repeat to fixpoint).
+
+Graph: the projected (mod-500) vertex space (``edges_v``) — the same
+bounded graph ``graph_triangle_count`` uses, canonicalized to a < b
+undirected simple edges. Spark-first round: edge support = triangle
+count through each edge, computed as edges ⋈ directed-neighbors ⋈
+directed-neighbors (two equi-joins + one hash agg, all on vertex keys —
+the standard relational triangle join), then a filter. The driver loop
+reads one O(1) edge-count scalar per round and stops at the fixpoint;
+every round frame is ``localCheckpoint``-truncated (the
+components/bfs/scc plan-growth discipline).
+
+Exact oracle: the peel is monotone (edge sets only shrink) and
+idempotent past the fixpoint, so a mechanically-unrolled
+ORACLE_ROUNDS-deep CTE chain with ORACLE_ROUNDS ≥ the measured
+convergence depth at the sf0.01 verify scale (6 rounds at K=60)
+reproduces the converged truss exactly — the same trick the CC/LPA/
+k-core oracles use. Output is the surviving edges with their final
+support, so the hash pins the whole peeling computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.graph.edges import EDGES_V_CTE, derive_vertex_embeddings
+
+KTRUSS_K = 60
+ORACLE_ROUNDS = 7  # ≥ measured sf0.01 convergence (6) — idempotent beyond
+MAX_ROUNDS = 40
+
+
+def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected simple edges of the projected graph, a < b."""
+    ev = derive_vertex_embeddings(spark, sf_dir)
+    return (
+        ev.filter(F.col("src_v") != F.col("dst_v"))
+        .select(
+            F.least("src_v", "dst_v").alias("a"),
+            F.greatest("src_v", "dst_v").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support: count of common neighbors of (a, b)."""
+    ue = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    n1 = ue.select(F.col("a").alias("u1"), F.col("b").alias("w1"))
+    n2 = ue.select(F.col("a").alias("u2"), F.col("b").alias("w2"))
+    return (
+        e.join(n1, e.a == n1.u1)
+        .join(n2, (e.b == n2.u2) & (F.col("w1") == F.col("w2")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+    )
+
+
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry key: the K-truss of the projected graph — surviving
+    edges with their converged support (support ≥ K−2 within the truss).
+    """
+    e = _canonical_edges(spark, sf_dir).localCheckpoint()
+    n_edges = e.count()
+    for _ in range(MAX_ROUNDS):
+        sup = _support(e)
+        kept = sup.filter(F.col("s") >= KTRUSS_K - 2)
+        e2 = kept.select("a", "b").localCheckpoint()
+        n2 = e2.count()  # O(1) convergence scalar
+        if n2 == n_edges or n2 == 0:
+            # converged (or empty): `kept` was computed on the final edge
+            # set, so its support values are the truss's final supports
+            return kept.select(
+                F.col("a").cast("long").alias("a"),
+                F.col("b").cast("long").alias("b"),
+                F.col("s").cast("long").alias("support"),
+            ).orderBy("a", "b")
+        e, n_edges = e2, n2
+    raise RuntimeError("k-truss peel did not converge within MAX_ROUNDS")
+
+
+def _ktruss_oracle_sql(rounds: int = ORACLE_ROUNDS) -> str:
+    blocks = [
+        f"""{EDGES_V_CTE.strip().rstrip(',')},
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src_v, dst_v) AS a, greatest(src_v, dst_v) AS b
+            FROM edges_v WHERE src_v <> dst_v
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        # ue stays un-MATERIALIZED: inlining the two directed copies into
+        # the support join lets DuckDB plan one fused pipeline per round
+        # (measured 38 s → 10 s for the 7-round chain at sf0.01)
+        blocks.append(f"""ue{p} AS (
+            SELECT a, b FROM e{p} UNION ALL SELECT b AS a, a AS b FROM e{p}
+        ),
+        sup{r} AS MATERIALIZED (
+            SELECT e.a, e.b, count(*) AS s
+            FROM e{p} e
+            JOIN ue{p} n1 ON n1.a = e.a
+            JOIN ue{p} n2 ON n2.a = e.b AND n2.b = n1.b
+            GROUP BY e.a, e.b
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT a, b FROM sup{r} WHERE s >= {KTRUSS_K} - 2
+        )""")
+    body = ",\n        ".join(blocks)
+    return f"""
+        WITH {body}
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(s AS BIGINT) AS support
+        FROM sup{rounds} WHERE s >= {KTRUSS_K} - 2
+        ORDER BY a, b
+    """
+
+
+QUERIES = {"graph_ktruss": graph_ktruss}
+ORACLE = {"graph_ktruss": _ktruss_oracle_sql()}

@@ -1,0 +1,167 @@
+"""Minimum spanning forest via distributed Borůvka (SURVEY.md §2B graph
+algorithms family — the classic O(log |V|)-round MSF algorithm, the shape
+GraphX/Pregel implementations use, re-expressed as DataFrame rounds).
+
+Per round, entirely relationally:
+1. re-key every surviving edge by its endpoints' current component labels
+   (two joins on vertex id), dropping intra-component edges;
+2. pick each component's minimum outgoing edge under the strict total
+   order (w, a, b) — one ``min(struct)`` aggregate (the composite order
+   makes the choice deterministic under weight ties, so the resulting
+   forest is the unique MSF of the perturbed order and a valid MSF of the
+   raw weights);
+3. the chosen edges form a forest over components; contract it with a
+   hash-min label propagation over that (component-count-sized, ≪ |E|)
+   merge graph, and fold the new labels back into the vertex→component
+   map.
+
+Component count at least halves per round (every component picks an
+edge), so the driver loop runs ≤ log₂|V| rounds; per-round driver reads
+are O(1) scalars (chosen-edge sum/count + convergence checks), never
+data-sized. Every round frame is ``localCheckpoint``-truncated — same
+plan-growth discipline as ``graph/components.py``.
+
+Registry key is rows-only (MSF is not SQL-expressible — per-round
+min-edge contraction needs recursion DuckDB's WITH RECURSIVE cannot
+aggregate over); exact parity of the summary (and the full forest weight)
+against a from-scratch union-find Kruskal under the same (w, a, b) order
+is pinned in tests/test_round3.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.graph.edges import derive_edges
+
+ROUND_CAP = 20  # ≥ log2 of any vertex count this engine will see locally
+CC_CAP = 30  # merge-forest label-propagation cap per round
+
+
+def _simple_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected simple graph in the 2c / 2s+1 id space:
+    multigraph collapsed to min weight per endpoint pair (a < b always —
+    customers are even, suppliers odd, and every derived edge crosses)."""
+    return (
+        derive_edges(spark, sf_dir)
+        .select(
+            (F.col("src") * 2).alias("a"),
+            (F.col("dst") * 2 + 1).alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+
+
+def _forest_cc(merge: DataFrame, max_rounds: int = CC_CAP) -> DataFrame:
+    """Hash-min connected components over the (small) per-round merge
+    forest; returns (v, lbl). Same loop as graph/components.py but over an
+    arbitrary in-memory edge frame."""
+    edges = merge.union(
+        merge.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.a, "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()  # O(1) convergence scalar
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _simple_weighted_edges(spark, sf_dir).localCheckpoint()
+    v = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    comp = v.withColumn("c", F.col("v")).localCheckpoint()
+    n_vertices = comp.count()
+    total_w = 0.0
+    n_edges = 0
+    max_w = 0.0
+    for _ in range(ROUND_CAP):
+        ca = comp.select(F.col("v").alias("av"), F.col("c").alias("ca"))
+        cb = comp.select(F.col("v").alias("bv"), F.col("c").alias("cb"))
+        ec = (
+            e.join(ca, e.a == ca.av)
+            .join(cb, e.b == cb.bv)
+            .filter(F.col("ca") != F.col("cb"))
+            .select("a", "b", "w", "ca", "cb")
+            .localCheckpoint()
+        )
+        if ec.isEmpty():
+            break
+        ed = F.struct("w", "a", "b", "ca", "cb").alias("ed")
+        cand = ec.select(F.col("ca").alias("comp"), ed).union(
+            ec.select(F.col("cb").alias("comp"), ed)
+        )
+        chosen = (
+            cand.groupBy("comp")
+            .agg(F.min("ed").alias("ed"))
+            .select("ed.*")
+            .distinct()
+            .localCheckpoint()
+        )
+        stats = chosen.agg(
+            F.sum("w").alias("s"), F.count("*").alias("n"), F.max("w").alias("m")
+        ).first()  # O(1) scalar read per round
+        total_w += float(stats["s"])
+        n_edges += int(stats["n"])
+        max_w = max(max_w, float(stats["m"]))
+        lbl = _forest_cc(chosen.select("ca", "cb").toDF("a", "b"))
+        comp = (
+            comp.join(lbl, comp.c == lbl.v, "left")
+            .select(comp.v, F.coalesce("lbl", "c").alias("c"))
+            .localCheckpoint()
+        )
+    n_components = comp.select("c").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                n_vertices,
+                n_components,
+                n_edges,
+                round(total_w, 2),
+                round(max_w, 2),
+            )
+        ],
+        schema="n_vertices long, n_components long, n_mst_edges long, "
+        "total_weight double, bottleneck_weight double",
+    )
+
+
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry key: MSF summary row (vertex/component/edge counts, total
+    and bottleneck forest weight). Rows-only; Kruskal parity + the
+    n_mst_edges == n_vertices − n_components invariant pinned in tests."""
+    return mst_forest_summary(spark, sf_dir)
+
+
+QUERIES = {"graph_mst_boruvka": graph_mst_boruvka}
+ORACLE: dict[str, str] = {}

@@ -117,10 +117,72 @@ def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WHITEN_DIMS = 4  # leading whitened coordinates exposed as columns
+WHITEN_EPS = 1e-6  # eigenvalue floor (regularized inverse sqrt)
+
+
+def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embedding corpus: y = W·(x − μ) with
+    W = U·Λ^{−1/2}·Uᵀ from the eigendecomposition of the covariance —
+    the decorrelation step ahead of PQ/IVF training and duplicate
+    detection. ZCA (rather than PCA) whitening is used because
+    U·Λ^{−1/2}·Uᵀ is a unique function of the PSD covariance — no
+    eigenvector sign/order ambiguity across runs or libraries.
+
+    The big-data split (same as ``emb_pca_covariance``): the corpus-sized
+    work is ONE distributed moment pass whose result is
+    dimension-bounded — d sums + d(d+1)/2 pair sums ≈ 2144 rows collected
+    to the driver regardless of corpus size; the d×d eigensolve is a
+    driver-side numpy call; the projection ships back as WHITEN_DIMS
+    literal weight rows folded JVM-side (zip_with·aggregate dot
+    products) — map-only, no Python on the data path, no shuffle after
+    the moment pass.
+
+    Rows-only registry key (the eigensolve is not SQL-expressible);
+    whitened-covariance ≈ I and parity vs a direct numpy whitening are
+    pinned in tests/test_round3b.py.
+    """
+    import numpy as np
+
+    d = _feat(spark, sf_dir)
+    n = d.count()  # scalar
+    ex = d.select("e", F.posexplode("e").alias("i", "xi"))
+    mean_rows = ex.groupBy("i").agg(F.sum("xi").alias("s")).collect()  # d rows
+    pair_rows = (
+        ex.select("i", "xi", F.posexplode("e").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sp"))
+        .collect()  # d(d+1)/2 rows — dimension-bounded, not data-bounded
+    )
+    dim = len(mean_rows)
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r["i"]] = r["s"] / n
+    cov = np.zeros((dim, dim))
+    for r in pair_rows:
+        c = r["sp"] / n - mu[r["i"]] * mu[r["j"]]
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+    lam, u = np.linalg.eigh(cov)
+    w_mat = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, WHITEN_EPS))) @ u.T
+    cols = []
+    for k in range(WHITEN_DIMS):
+        wk = F.lit([float(v) for v in w_mat[k]])
+        dot = F.aggregate(
+            F.zip_with("e", wk, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append((dot - F.lit(float(w_mat[k] @ mu))).alias(f"y{k + 1}"))
+    return d.select("vec_id", *cols)
+
+
 QUERIES = {
     "emb_l2_normalize": emb_l2_normalize,
     "emb_quantize_int8": emb_quantize_int8,
     "emb_pca_covariance": emb_pca_covariance,
+    "emb_whitening": emb_whitening,
 }
 
 _NORM_COLS = ",\n               ".join(

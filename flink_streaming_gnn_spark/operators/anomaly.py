@@ -138,6 +138,44 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 0.6745  # Φ⁻¹(0.75): scales MAD to σ-equivalents
+MAD_THRESH = 3.5  # Iglewicz–Hoaglin modified z-score cutoff
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per user via the modified z-score
+    M = 0.6745·(x − median) / MAD (Iglewicz & Hoaglin 1993); |M| ≥ 3.5
+    rows are flagged. Unlike ``ts_anomaly_zscore``'s mean/stddev
+    baseline, median/MAD are unmoved by the outliers themselves.
+
+    Spark-first shape: two user-keyed aggregates (median, then MAD of
+    the residuals) joined back — exact interpolated ``percentile``, all
+    JVM. Three shuffles total but all on user_id, so AQE coalesces them
+    onto one exchange footprint; output is flagged rows only, bounded.
+    Both engines interpolate even-count medians identically
+    (percentile ≡ quantile_cont)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    scored = dev.join(mad, "user_id").withColumn(
+        "m", MAD_K * (F.col("value") - F.col("med")) / F.col("mad")
+    )
+    return scored.filter((F.col("mad") > 0) & (F.abs("m") >= MAD_THRESH)).select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round("med", 4).alias("med"),
+        F.round("m", 3).alias("mscore"),
+    )
+
+
 def _ewma_oracle_sql() -> str:
     num_terms, den_terms = [], []
     for i in range(K):
@@ -159,6 +197,7 @@ QUERIES = {
     "ts_ewma": ts_ewma,
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_cusum_changepoint": ts_cusum_changepoint,
+    "ts_anomaly_mad": ts_anomaly_mad,
 }
 
 ORACLE = {
@@ -180,6 +219,28 @@ ORACLE = {
         FROM scored
         WHERE n_base >= {Z_MIN_N} AND sigma > 0
           AND abs((value - mu) / sigma) >= {Z_THRESH}
+    """,
+    "ts_anomaly_mad": f"""
+        WITH med AS (
+            SELECT user_id, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY user_id
+        ),
+        dev AS (
+            SELECT e.user_id, e.event_id, e.value, med.med,
+                   abs(e.value - med.med) AS adev
+            FROM events e JOIN med USING (user_id)
+        ),
+        mad AS (
+            SELECT user_id, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY user_id
+        )
+        SELECT d.user_id, d.event_id,
+               round(d.value, 4) AS value,
+               round(d.med, 4) AS med,
+               round({MAD_K} * (d.value - d.med) / mad.mad, 3) AS mscore
+        FROM dev d JOIN mad USING (user_id)
+        WHERE mad.mad > 0
+          AND abs({MAD_K} * (d.value - d.med) / mad.mad) >= {MAD_THRESH}
     """,
     "ts_cusum_changepoint": f"""
         WITH z AS (

@@ -102,6 +102,64 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(per_col)
 
 
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + distinct cardinality per categorical column of
+    the event stream — the information-content profile a curation pipeline
+    reads before choosing mixture/partition keys.
+
+    Spark-first shape: ONE scan — every row stacks into (column, value)
+    pairs map-side, then two hash aggs (value counts, then per-column
+    −Σ p·ln p). Both shuffles key on the stacked column name + value; the
+    second moves |columns| × |distinct| partials only. At 100 TB the
+    per-column distinct sets dominate — the stack keeps it one pass where
+    naive per-column profiling would rescan the table per column."""
+    ev = load_table(spark, sf_dir, "events")
+    stacked = ev.select(
+        F.expr(
+            "stack(3, 'event_type', event_type,"
+            " 'user_id', cast(user_id AS string),"
+            " 'event_day', cast(to_date(ts) AS string)) AS (col, val)"
+        )
+    )
+    counts = stacked.groupBy("col", "val").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("col").agg(F.sum("c").alias("n"))
+    return (
+        counts.join(totals, "col")
+        .groupBy("col")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(
+                -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))), 6
+            ).alias("entropy"),
+        )
+        .orderBy("col")
+    )
+
+
+def _entropy_oracle() -> str:
+    return """
+        WITH stacked AS (
+            SELECT 'event_type' AS col, event_type AS val FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+            UNION ALL
+            SELECT 'event_day', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+        ),
+        counts AS (
+            SELECT col, val, count(*) AS c FROM stacked GROUP BY col, val
+        ),
+        totals AS (
+            SELECT col, sum(c) AS n FROM counts GROUP BY col
+        )
+        SELECT counts.col AS col,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy
+        FROM counts JOIN totals ON counts.col = totals.col
+        GROUP BY counts.col
+        ORDER BY counts.col
+    """
+
+
 def _dq_oracle() -> str:
     parts = [
         f"""SELECT '{rule}' AS rule,
@@ -117,9 +175,11 @@ def _dq_oracle() -> str:
 QUERIES = {
     "profile_table_stats": profile_table_stats,
     "dq_constraint_check": dq_constraint_check,
+    "profile_column_entropy": profile_column_entropy,
 }
 
 ORACLE = {
     "profile_table_stats": _profile_oracle(),
     "dq_constraint_check": _dq_oracle(),
+    "profile_column_entropy": _entropy_oracle(),
 }

@@ -103,6 +103,11 @@ _MODULES = (
     "flink_streaming_gnn_spark.functions.variantfns",
     "flink_streaming_gnn_spark.llm.bpe",
     "flink_streaming_gnn_spark.graph.betweenness",
+    "flink_streaming_gnn_spark.operators.bloom",
+    "flink_streaming_gnn_spark.graph.eigenvector",
+    "flink_streaming_gnn_spark.llm.gopher",
+    "flink_streaming_gnn_spark.graph.mst",
+    "flink_streaming_gnn_spark.graph.ktruss",
 )
 
 
