@@ -203,8 +203,37 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal money aggregation — the fixed-point path every
+    billing/ledger pipeline needs: prices cast to DECIMAL(12,2) before
+    summing, so the group totals are exact (no float rounding in either
+    engine, no round() in the comparison). Tungsten aggregates DECIMAL
+    with long/128-bit arithmetic inside whole-stage codegen, same
+    one-exchange plan as the double version (``agg_pricing_summary``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            # final decimals rendered AS STRINGS in both engines: the
+            # comparison must see the exact fixed-point digits, and
+            # pandas/Arrow bridges degrade wide decimals to float64
+            F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_price"),
+            F.sum(price * disc)
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias("sum_discount_amt"),
+            F.max(price).cast("string").alias("max_price"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
+    "agg_decimal_exact": agg_decimal_exact,
     "agg_approx_quantile": agg_approx_quantile,
     "agg_string_agg": agg_string_agg,
     "agg_boolean": agg_boolean,
@@ -219,6 +248,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_decimal_exact": """
+        SELECT l_returnflag,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(l_discount AS DECIMAL(12,2)))
+                         AS DECIMAL(38,4)) AS VARCHAR) AS sum_discount_amt,
+               CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+                   AS max_price,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "agg_string_agg": """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,

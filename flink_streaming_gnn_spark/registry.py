@@ -108,6 +108,8 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.gopher",
     "flink_streaming_gnn_spark.graph.mst",
     "flink_streaming_gnn_spark.graph.ktruss",
+    "flink_streaming_gnn_spark.operators.spectral",
+    "flink_streaming_gnn_spark.llm.collocations",
 )
 
 

@@ -215,6 +215,113 @@ def test_mad_outliers_match_numpy(spark):
 
 
 # ---------------------------------------------------------------------------
+# Periodogram vs numpy recompute
+
+
+def test_periodogram_matches_numpy(spark):
+    from flink_streaming_gnn_spark.operators.spectral import (
+        BASE_US,
+        N_HARMONICS,
+        PERIOD_S,
+        ts_periodogram,
+    )
+
+    got = {r["user_id"]: r for r in ts_periodogram(spark, SF_SMOKE).collect()}
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "value",
+    ).collect()
+    by_user: dict[int, list] = {}
+    for e in events:
+        by_user.setdefault(e["user_id"], []).append(e)
+    assert set(got) == set(by_user)
+    for uid, rows in by_user.items():
+        t = np.array([e["t_us"] - BASE_US for e in rows], dtype=np.float64)
+        x = np.array([e["value"] for e in rows])
+        n = len(rows)
+        assert got[uid]["n"] == n
+        for k in range(1, N_HARMONICS + 1):
+            arg = t * (2.0 * np.pi * k / (PERIOD_S * 1e6))
+            c = float(np.sum(x * np.cos(arg)))
+            s = float(np.sum(x * np.sin(arg)))
+            power = (c * c + s * s) / (n * n)
+            assert abs(got[uid][f"power_k{k}"] - power) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Exact decimal aggregation vs Python Decimal
+
+
+def test_decimal_agg_matches_python_decimal(spark):
+    from flink_streaming_gnn_spark.operators.aggregates import agg_decimal_exact
+
+    got = {r["l_returnflag"]: r for r in agg_decimal_exact(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    ).collect()
+    sums: dict[str, Decimal] = {}
+    dsum: dict[str, Decimal] = {}
+    mx: dict[str, Decimal] = {}
+    n: dict[str, int] = {}
+    q2 = Decimal("0.01")
+    for r in li:
+        f = r["l_returnflag"]
+        p = Decimal(repr(r["l_extendedprice"])).quantize(q2, rounding=ROUND_HALF_UP)
+        d = Decimal(repr(r["l_discount"])).quantize(q2, rounding=ROUND_HALF_UP)
+        sums[f] = sums.get(f, Decimal(0)) + p
+        dsum[f] = dsum.get(f, Decimal(0)) + p * d
+        mx[f] = max(mx.get(f, Decimal(0)), p)
+        n[f] = n.get(f, 0) + 1
+    assert set(got) == set(sums)
+    for f in sums:
+        # the key renders exact decimals as strings (pandas bridges would
+        # degrade wide decimals to float64) — compare digit strings
+        assert got[f]["sum_price"] == str(sums[f])
+        assert got[f]["sum_discount_amt"] == str(dsum[f])
+        assert got[f]["max_price"] == str(mx[f])
+        assert got[f]["n"] == n[f]
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI vs Python Counter recompute
+
+
+def test_bigram_pmi_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from flink_streaming_gnn_spark.llm.collocations import (
+        MIN_PAIR,
+        TOP_N,
+        text_bigram_pmi,
+    )
+
+    got = [
+        (r["w1"], r["w2"], r["pair_n"], r["pmi"])
+        for r in text_bigram_pmi(spark, SF_SMOKE).collect()
+    ]
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for d in docs:
+        toks = d["text"].split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n1 = sum(uni.values())
+    n2 = sum(big.values())
+    scored = []
+    for (w1, w2), c2 in big.items():
+        if c2 < MIN_PAIR:
+            continue
+        pmi = math.log((c2 / n2) / ((uni[w1] / n1) * (uni[w2] / n1)))
+        scored.append((w1, w2, c2, _round_half_up(pmi, 6)))
+    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+    assert got == scored[:TOP_N]
+    assert len(got) == TOP_N  # corpus produces at least TOP_N collocations
+
+
+# ---------------------------------------------------------------------------
 # k-truss vs pure-Python support peeling
 
 
