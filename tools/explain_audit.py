@@ -284,6 +284,31 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "sql_pivot_wide": ([r"HashAggregate"], [r"Join"]),
     # repeated spans: explode + ONE hash agg; span text never in the shuffle
     "dedup_repeated_spans": ([r"Generate", r"HashAggregate"], [r"Join", r"EvalPython"]),
+    # --- round-3 additions ---
+    # Bloom prefilter: the membership test must sit in a JVM Filter
+    # (bit_get over the literal bitset) ahead of the exact join; no Python
+    "join_bloom_prefilter": (
+        [r"bit_get|getbit", r"HashAggregate"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # Gopher rules: map-only — one scan, zero exchanges, zero Python
+    "text_quality_gopher": ([], [r"Join", r"Exchange", r"EvalPython", r"InPandas"]),
+    # MAD outliers: percentile aggs + user-keyed equi-joins only
+    "ts_anomaly_mad": ([r"HashAggregate"], [r"CartesianProduct", r"EvalPython"]),
+    # entropy: map-side stack (Generate/Expand) into two agg levels, no scan-per-column
+    "profile_column_entropy": ([r"HashAggregate"], [r"CartesianProduct", r"EvalPython"]),
+    # periodogram: ONE agg pass, cos/sin unrolled as JVM partial_sums, no join
+    "ts_periodogram": ([r"HashAggregate", r"partial_sum"], [r"Join", r"EvalPython"]),
+    # exact decimal: same one-exchange shape as the double pricing summary
+    "agg_decimal_exact": ([r"HashAggregate", r"partial_sum"], [r"Join"]),
+    # PMI: map-side pair Generate + hash aggs; vocabulary joins are equi
+    "text_bigram_pmi": (
+        [r"Generate", r"HashAggregate"],
+        [r"CartesianProduct", r"EvalPython"],
+    ),
+    # ZCA projection: after the (driver-side) moment pass the returned plan
+    # is a pure map — no exchange, no join, no Python on the data path
+    "emb_whitening": ([], [r"Exchange", r"Join", r"EvalPython", r"InPandas"]),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
