@@ -78,13 +78,88 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness/kurtosis per event type from raw power sums — the
+    one-pass mergeable-moment formulation (s₁..s₄ partial-aggregate and
+    combine, the distributed-statistics textbook shape), with the
+    central-moment algebra applied AFTER the aggregate:
+
+        m_k = E[(x−μ)^k] expanded in raw moments; g1 = m3/m2^1.5,
+        g2 = m4/m2² − 3.
+
+    Built-in skewness()/kurtosis() are deliberately avoided: engines
+    disagree on population-vs-sample corrections, while raw power sums
+    are engine-neutral (identical expression shapes both sides, powers
+    as explicit multiply chains — pow()'s libm path need not be
+    bit-stable across engines). One exchange of 5 doubles per group."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mean * (F.col("s2") / F.col("n"))
+        + 2 * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * mean * mean * (F.col("s2") / F.col("n"))
+        - 3 * mean * mean * mean * mean
+    )
+    return wide.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(m2, 6).alias("m2"),
+        F.round(m3 / (m2 ** F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+_MOMENTS_SQL = """
+    WITH wide AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(value) AS s1,
+               sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round(s1 / n, 6) AS mean,
+           round(s2 / n - (s1 / n) * (s1 / n), 6) AS m2,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
+               AS excess_kurtosis
+    FROM wide ORDER BY event_type
+"""
+
+
 QUERIES = {
     "agg_mode": agg_mode,
     "agg_histogram": agg_histogram,
     "agg_cube": agg_cube,
+    "agg_higher_moments": agg_higher_moments,
 }
 
 ORACLE = {
+    "agg_higher_moments": _MOMENTS_SQL,
     "agg_cube": """
         SELECT o_orderstatus, o_orderpriority,
                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

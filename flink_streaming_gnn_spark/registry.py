@@ -110,6 +110,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.ktruss",
     "flink_streaming_gnn_spark.operators.spectral",
     "flink_streaming_gnn_spark.llm.collocations",
+    "flink_streaming_gnn_spark.llm.kmeans",
 )
 
 

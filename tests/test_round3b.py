@@ -322,6 +322,79 @@ def test_bigram_pmi_matches_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# Lloyd k-means vs pure-numpy rounds (same seed, same rounding discipline)
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    from flink_streaming_gnn_spark.llm.kmeans import (
+        K_CLUSTERS,
+        OUT_DIMS,
+        ROUNDS,
+        _init_centroids,
+        ml_kmeans_lloyd,
+    )
+
+    got = {r["cluster"]: r for r in ml_kmeans_lloyd(spark, SF_SMOKE).collect()}
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = _init_centroids().astype(np.float64)
+
+    def assign(c):
+        d2 = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)  # ties → lowest cl, same as struct-min
+
+    for _ in range(ROUNDS):
+        a = assign(cents)
+        new = cents.copy()
+        for c in range(K_CLUSTERS):
+            if (a == c).any():
+                new[c] = np.array(
+                    [_round_half_up(v, 6) for v in X[a == c].mean(axis=0)]
+                )
+        cents = new
+    a = assign(cents)
+    for c in range(K_CLUSTERS):
+        assert got[c]["n"] == int((a == c).sum())
+        for d in range(OUT_DIMS):
+            assert abs(got[c][f"c{d + 1}"] - cents[c][d]) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Higher moments vs numpy
+
+
+def test_higher_moments_match_numpy(spark):
+    from flink_streaming_gnn_spark.operators.olap import agg_higher_moments
+
+    got = {r["event_type"]: r for r in agg_higher_moments(spark, SF_SMOKE).collect()}
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "value"
+    ).collect()
+    groups: dict[str, list] = {}
+    for e in events:
+        groups.setdefault(e["event_type"], []).append(e["value"])
+    assert set(got) == set(groups)
+    for t, vals in groups.items():
+        x = np.array(vals)
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        assert got[t]["n"] == len(vals)
+        assert abs(got[t]["mean"] - x.mean()) < 1e-4
+        assert abs(got[t]["m2"] - m2) < 1e-3
+        assert abs(got[t]["skewness"] - m3 / m2**1.5) < 1e-4
+        assert abs(got[t]["excess_kurtosis"] - (m4 / m2**2 - 3.0)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
 # k-truss vs pure-Python support peeling
 
 
