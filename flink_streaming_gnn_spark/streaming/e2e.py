@@ -237,6 +237,36 @@ def stream_decayed_memory_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication run as a REAL multi-trigger stream: the
+    dedup state store sees each (user_id, event_type) key across
+    micro-batch boundaries and append-mode emits exactly the first-seen
+    instance, so the drained sink IS the distinct key set — exactly the
+    batch DISTINCT the oracle computes. Only the key columns are emitted
+    (which *row* of a duplicate group arrives first is replay-order
+    dependent; the key set is not).
+
+    No watermark on purpose: plain ``dropDuplicates`` keeps exact
+    unbounded state, which is the only form whose final emission is
+    replay-batching-independent — a TTL'd ``dropDuplicatesWithinWatermark``
+    re-emits keys whose state aged out, trading exactness for bounded
+    state (that production flavor is the batch-twin ``stream_dedup``'s
+    documented territory). The fixture is bounded, so exact state is the
+    right attestation here."""
+    from flink_streaming_gnn_spark.streaming.replay import (
+        events_stream,
+        run_append_to_completion,
+    )
+
+    stream = events_stream(spark, sf_dir, files_per_trigger=2).select(
+        "user_id", "event_type"
+    )
+    out = run_append_to_completion(
+        stream.dropDuplicates(["user_id", "event_type"]), "dedup_e2e"
+    )
+    return out.orderBy("user_id", "event_type")
+
+
 QUERIES = {
     "stream_windowed_topk": stream_windowed_topk,
     "stream_cdc_snapshot": stream_cdc_snapshot,
@@ -244,11 +274,19 @@ QUERIES = {
     "stream_session_e2e": stream_session_e2e,
     "stream_gnn_sage_e2e": stream_gnn_sage_e2e,
     "stream_decayed_memory_e2e": stream_decayed_memory_e2e,
+    "stream_dedup_e2e": stream_dedup_e2e,
 }
 
 from flink_streaming_gnn_spark.streaming.gnn import _windowed_oracle_sql
 
 ORACLE = {
+    # streaming dedup final sink == batch DISTINCT over the key columns
+    "stream_dedup_e2e": """
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
     # keyed-state decay fold final state == the batch closed form
     "stream_decayed_memory_e2e": f"""
         WITH ev AS (
