@@ -34,6 +34,7 @@ from flink_streaming_gnn_spark.operators.anomaly import (
 from flink_streaming_gnn_spark.operators.bloom import (
     PRIORITY,
     bloom_might_contain,
+    bloom_width,
     build_bloom_bitset,
 )
 from flink_streaming_gnn_spark.sources.tables import load_table
@@ -51,7 +52,8 @@ def test_bloom_no_false_negatives_and_selective(spark):
     orders = load_table(spark, SF_ORACLE, "orders")
     lineitem = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey")
     urgent = orders.filter(F.col("o_orderpriority") == PRIORITY).select("o_orderkey")
-    bitset = build_bloom_bitset(urgent, "o_orderkey")
+    m_bits = bloom_width(urgent.count())
+    bitset = build_bloom_bitset(urgent, "o_orderkey", m_bits)
 
     # no false negatives: every lineitem row whose order IS urgent passes
     true_rows = lineitem.join(
@@ -70,6 +72,22 @@ def test_bloom_no_false_negatives_and_selective(spark):
     # false-positive pass-through stays small at this geometry (<5% of the
     # non-matching rows; the analytic bound at ~3k keys / 64Ki bits is <1%)
     assert (passed - n_true) <= 0.05 * (total - n_true)
+
+
+def test_bloom_width_and_saturated_bitset(spark):
+    """Regression for the ≈sf1 probe failure: a saturated bitset (every
+    word all-ones) must stay typed array<bigint> (Python literal
+    inference would type [-1, -1, ...] as int32 and break bit_get), and
+    the width must scale with the build-side key count."""
+    assert bloom_width(100) == 1 << 16
+    assert bloom_width(30_000) == 1 << 19
+    assert bloom_width(10**9) == 1 << 20  # capped
+    n = (
+        spark.range(100)
+        .filter(bloom_might_contain([-1] * 1024, F.col("id")))
+        .count()
+    )
+    assert n == 100  # all-ones bitset passes everything — and doesn't crash
 
 
 # ---------------------------------------------------------------------------
