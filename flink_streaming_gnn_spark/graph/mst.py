@@ -3,17 +3,19 @@ algorithms family — the classic O(log |V|)-round MSF algorithm, the shape
 GraphX/Pregel implementations use, re-expressed as DataFrame rounds).
 
 Per round, entirely relationally:
-1. re-key every surviving edge by its endpoints' current component labels
-   (two joins on vertex id), dropping intra-component edges;
-2. pick each component's minimum outgoing edge under the strict total
-   order (w, a, b) — one ``min(struct)`` aggregate (the composite order
-   makes the choice deterministic under weight ties, so the resulting
-   forest is the unique MSF of the perturbed order and a valid MSF of the
-   raw weights);
-3. the chosen edges form a forest over components; contract it with a
-   hash-min label propagation over that (component-count-sized, ≪ |E|)
-   merge graph, and fold the new labels back into the vertex→component
-   map.
+1. pick each component's minimum outgoing edge under the strict total
+   order (w, a, b) — one ``min(struct)`` aggregate over the CONTRACTED
+   component graph (the composite order makes the choice deterministic
+   under weight ties, so the resulting forest is the unique MSF of the
+   perturbed order and a valid MSF of the raw weights);
+2. the chosen edges form a forest over components; label it with a
+   hash-min propagation over that (component-count-sized, ≪ |E|) merge
+   graph;
+3. CONTRACT: re-key the working edges to the new component endpoints,
+   drop intra-component edges, and collapse parallel component-pair
+   edges to their (w, a, b)-minimal original edge — |E| shrinks
+   geometrically with the component count, so later rounds touch the
+   surviving component graph, never the original edge list.
 
 Component count at least halves per round (every component picks an
 edge), so the driver loop runs ≤ log₂|V| rounds; per-round driver reads
@@ -94,32 +96,37 @@ def _forest_cc(merge: DataFrame, max_rounds: int = CC_CAP) -> DataFrame:
 
 
 def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _simple_weighted_edges(spark, sf_dir).localCheckpoint()
-    v = (
-        e.select(F.col("a").alias("v"))
-        .union(e.select(F.col("b").alias("v")))
+    """Borůvka WITH EDGE CONTRACTION: the working edge set is re-keyed to
+    component endpoints AND collapsed to the lightest original edge per
+    component pair every round, so |E| shrinks geometrically with the
+    component count instead of re-joining the full original edge list
+    each round (measured at the ≈sf1 probe: the rejoin-everything variant
+    cost 685 s over ~17 rounds on 6M edges; contraction makes round r's
+    work proportional to the surviving component graph). The global
+    vertex→component map is never materialized — the summary needs only
+    counts, and #components = #vertices − #forest-edges by the spanning
+    invariant."""
+    e0 = _simple_weighted_edges(spark, sf_dir)
+    n_vertices = (
+        e0.select(F.col("a").alias("v"))
+        .union(e0.select(F.col("b").alias("v")))
         .distinct()
+        .count()
     )
-    comp = v.withColumn("c", F.col("v")).localCheckpoint()
-    n_vertices = comp.count()
+    # contracted edge: (u, v) component endpoints + the lightest original
+    # edge (w, a, b) realizing that component pair
+    e_cur = e0.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w", "a", "b"
+    ).localCheckpoint()
     total_w = 0.0
     n_edges = 0
     max_w = 0.0
     for _ in range(ROUND_CAP):
-        ca = comp.select(F.col("v").alias("av"), F.col("c").alias("ca"))
-        cb = comp.select(F.col("v").alias("bv"), F.col("c").alias("cb"))
-        ec = (
-            e.join(ca, e.a == ca.av)
-            .join(cb, e.b == cb.bv)
-            .filter(F.col("ca") != F.col("cb"))
-            .select("a", "b", "w", "ca", "cb")
-            .localCheckpoint()
-        )
-        if ec.isEmpty():
+        if e_cur.isEmpty():
             break
-        ed = F.struct("w", "a", "b", "ca", "cb").alias("ed")
-        cand = ec.select(F.col("ca").alias("comp"), ed).union(
-            ec.select(F.col("cb").alias("comp"), ed)
+        ed = F.struct("w", "a", "b", "u", "v").alias("ed")
+        cand = e_cur.select(F.col("u").alias("comp"), ed).union(
+            e_cur.select(F.col("v").alias("comp"), ed)
         )
         chosen = (
             cand.groupBy("comp")
@@ -134,13 +141,33 @@ def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_w += float(stats["s"])
         n_edges += int(stats["n"])
         max_w = max(max_w, float(stats["m"]))
-        lbl = _forest_cc(chosen.select("ca", "cb").toDF("a", "b"))
-        comp = (
-            comp.join(lbl, comp.c == lbl.v, "left")
-            .select(comp.v, F.coalesce("lbl", "c").alias("c"))
+        lbl = _forest_cc(chosen.select("u", "v").toDF("a", "b"))
+        lu = lbl.select(F.col("v").alias("ku"), F.col("lbl").alias("lu"))
+        lv = lbl.select(F.col("v").alias("kv"), F.col("lbl").alias("lv"))
+        # refresh component endpoints, drop intra-component edges, contract
+        # parallel component-pair edges to their (w, a, b)-minimal one
+        e_cur = (
+            e_cur.join(lu, e_cur.u == lu.ku, "left")
+            .join(lv, e_cur.v == lv.kv, "left")
+            .select(
+                F.coalesce("lu", "u").alias("cu"),
+                F.coalesce("lv", "v").alias("cv"),
+                "w",
+                "a",
+                "b",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .select(
+                F.least("cu", "cv").alias("u"),
+                F.greatest("cu", "cv").alias("v"),
+                F.struct("w", "a", "b").alias("ed"),
+            )
+            .groupBy("u", "v")
+            .agg(F.min("ed").alias("ed"))
+            .select("u", "v", "ed.w", "ed.a", "ed.b")
             .localCheckpoint()
         )
-    n_components = comp.select("c").distinct().count()
+    n_components = n_vertices - n_edges  # spanning-forest invariant
     return spark.createDataFrame(
         [
             (
