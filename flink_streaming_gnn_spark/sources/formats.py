@@ -80,10 +80,77 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select("doc_id", "text", "lang", "source", "n_chars")
 
 
+CORRUPT_MOD = 7  # rows with doc_id % CORRUPT_MOD == 0 are mangled
+
+
+def _corrupt_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    """JSONL copy of documents with a deterministic fraction of rows
+    mangled (truncated mid-object + junk suffix) — cached/atomic like
+    the clean round-trip dirs."""
+    src = table_path(sf_dir, "documents")
+    try:
+        st = os.stat(src)
+        fingerprint = f"corrupt{CORRUPT_MOD}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fingerprint = f"corrupt{CORRUPT_MOD}:{sf_dir}"
+    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"docs_corrupt_{digest}")
+    if not os.path.isdir(out_dir):
+        from pyspark.sql import functions as F
+
+        staging = tempfile.mkdtemp(
+            prefix=f"docs_corrupt_{digest}_", dir=tempfile.gettempdir()
+        )
+        js = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+        lines = load_table(spark, sf_dir, "documents").select(
+            F.when(
+                F.col("doc_id") % CORRUPT_MOD == 0,
+                F.concat(F.substring(js, 1, 25), F.lit("@@not-json")),
+            )
+            .otherwise(js)
+            .alias("value")
+        )
+        lines.coalesce(1).write.mode("overwrite").text(staging)
+        try:
+            os.rename(staging, out_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return out_dir
+
+
+def source_jsonl_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record handling on ingest — the PERMISSIVE path every
+    production crawler feed needs: malformed lines land whole in
+    ``_corrupt_record`` (all data columns null) instead of failing the
+    job or being silently dropped. The key reduces the scan to per-lang
+    valid counts plus a ``_corrupt_`` bucket; the oracle recomputes the
+    same buckets from the clean table and the deterministic corruption
+    rule, so the hash proves the parser recovered EXACTLY the uncorrupted
+    rows and quarantined EXACTLY the mangled ones."""
+    from pyspark.sql import functions as F
+
+    path = _corrupt_jsonl_dir(spark, sf_dir)
+    df = (
+        spark.read.schema(DOCS_SCHEMA + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bucket = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("_corrupt_")
+    ).otherwise(F.col("lang"))
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_orc_roundtrip": source_orc_roundtrip,
+    "source_jsonl_corrupt_records": source_jsonl_corrupt_records,
 }
 
 _DOCS_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
@@ -92,4 +159,12 @@ ORACLE = {
     "source_csv_roundtrip": _DOCS_SQL,
     "source_jsonl_roundtrip": _DOCS_SQL,
     "source_orc_roundtrip": _DOCS_SQL,
+    "source_jsonl_corrupt_records": f"""
+        SELECT CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN '_corrupt_' ELSE lang END
+                   AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        GROUP BY 1
+        ORDER BY 1
+    """,
 }
