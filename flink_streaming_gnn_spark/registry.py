@@ -120,8 +120,12 @@ _MODULES = (
 # GNN zoo, the SQL entry points, the sources, then graph sampling/link-pred/
 # temporal, the corpus-assembly pipeline, and two flagship singles. All 50
 # were green in the judge's full driver_sim run; none has appeared in an
-# official CORRECTNESS artifact yet. The remaining ~56 never-attested keys
-# (see tools/attestation_ledger.py output in README) rotate here in round 4.
+# official CORRECTNESS artifact yet. After this round's 50 are recorded,
+# ~76 never-attested keys remain (the round-2 tail plus every round-3
+# addition — see tools/attestation_ledger.py's "pending" rows in README);
+# round 4 rotates the next 50 of those here, priority to the round-3
+# flagships (bloom prefilter, eigenvector, k-truss, k-means, MSF,
+# betweenness, BPE, stream_dedup_e2e, corrupt-record ingest).
 _PRIORITY_KEYS = (
     # streaming end-to-end (real multi-trigger streams at check time)
     "stream_windowed_topk",
