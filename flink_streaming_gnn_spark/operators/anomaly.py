@@ -138,6 +138,73 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLT_ALPHA = 0.4  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+HOLT_K = 8  # truncated impulse-response terms
+
+
+def _holt_weights(k: int = HOLT_K) -> tuple[list[float], list[float]]:
+    """Impulse-response weights of Holt's linear method, which is a
+    LINEAR time-invariant filter: with state s = [level, trend],
+    s_t = A·s_{t−1} + c·x_t for A = [[1−α, 1−α], [−αβ, 1−αβ]],
+    c = [α, αβ]; so s_t = Σ_j (A^j c)·x_{t−j}. Truncating at K terms
+    turns the sequential recurrence into K lag() taps — the same unroll
+    trick as ts_ewma, extended to the 2-state filter."""
+    a, b = HOLT_ALPHA, HOLT_BETA
+    A = [[1 - a, 1 - a], [-a * b, 1 - a * b]]
+    vec = [a, a * b]
+    wl, wb = [], []
+    for _ in range(k):
+        wl.append(vec[0])
+        wb.append(vec[1])
+        vec = [
+            A[0][0] * vec[0] + A[0][1] * vec[1],
+            A[1][0] * vec[0] + A[1][1] * vec[1],
+        ]
+    return wl, wb
+
+
+def ts_holt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing per user as a K-term truncated filter
+    (zero-padded before series start — the documented semantic, like
+    ts_ewma's K-term window): level and trend estimates from K lag()
+    taps sharing ONE per-user sort, all JVM. Both engines evaluate the
+    identical literal-weight expression shape, so per-row values are
+    IEEE-identical."""
+    wl, wb = _holt_weights()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    level = F.lit(0.0)
+    trend = F.lit(0.0)
+    for i in range(HOLT_K):
+        x = F.coalesce(F.lag("value", i).over(w), F.lit(0.0))
+        level = level + x * wl[i]
+        trend = trend + x * wb[i]
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(level, 4).alias("level"),
+        F.round(trend, 4).alias("trend"),
+    )
+
+
+def _holt_oracle_sql() -> str:
+    wl, wb = _holt_weights()
+    lvl = " + ".join(
+        f"COALESCE(lag(value, {i}) OVER w, 0.0) * {wl[i]!r}" for i in range(HOLT_K)
+    )
+    trd = " + ".join(
+        f"COALESCE(lag(value, {i}) OVER w, 0.0) * {wb[i]!r}" for i in range(HOLT_K)
+    )
+    return f"""
+        SELECT user_id, event_id,
+               round({lvl}, 4) AS level,
+               round({trd}, 4) AS trend
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
 MAD_K = 0.6745  # Φ⁻¹(0.75): scales MAD to σ-equivalents
 MAD_THRESH = 3.5  # Iglewicz–Hoaglin modified z-score cutoff
 
@@ -198,6 +265,7 @@ QUERIES = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_cusum_changepoint": ts_cusum_changepoint,
     "ts_anomaly_mad": ts_anomaly_mad,
+    "ts_holt_filter": ts_holt_filter,
 }
 
 ORACLE = {
@@ -220,6 +288,7 @@ ORACLE = {
         WHERE n_base >= {Z_MIN_N} AND sigma > 0
           AND abs((value - mu) / sigma) >= {Z_THRESH}
     """,
+    "ts_holt_filter": _holt_oracle_sql(),
     "ts_anomaly_mad": f"""
         WITH med AS (
             SELECT user_id, quantile_cont(value, 0.5) AS med

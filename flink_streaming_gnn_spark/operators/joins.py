@@ -122,6 +122,52 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOL_US = 3_600_000_000  # nearest-match tolerance: ±1 hour in µs
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join (pd.merge_asof direction='nearest'): for each
+    purchase, the click by the same user with the smallest |Δts| within
+    ±1 hour — either direction, unlike ``join_asof``'s backward-only
+    semantics. The tolerance is what keeps the pair space bounded at
+    scale: the range predicate rides the user_id equi-join, so per-key
+    candidates are a time slice, never the whole history. Δts is an
+    exact integer microsecond difference (deterministic ordering; ties
+    break toward the earlier click, then click_id)."""
+    ev = _t(spark, sf_dir, "events")
+    p_us = F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+    c_us = F.unix_micros(F.col("click_ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.click_user)
+        & (F.abs(c_us - p_us) <= ASOF_TOL_US),
+        "inner",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.abs(c_us - p_us), F.col("click_ts"), F.col("click_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (c_us - p_us).alias("delta_us"),
+        )
+    )
+
+
 def join_theta_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (theta) join: supplier pairs within a nation with an
     account-balance gap bound — equi part on nation keeps it from being a
@@ -260,6 +306,7 @@ QUERIES = {
     "join_theta_nl": join_theta_nl,
     "join_range_interval": join_range_interval,
     "join_asof": join_asof,
+    "join_asof_nearest": join_asof_nearest,
     "join_multiway_star": join_multiway_star,
     "join_3way_revenue": join_multiway_star,  # BASELINE.md headline name
     "semi_anti": join_anti,  # BASELINE.md headline name
@@ -356,6 +403,26 @@ ORACLE = {
          AND e2.event_id <> e1.event_id
          AND e2.ts >= e1.ts
          AND e2.ts <= e1.ts + INTERVAL 15 MINUTE
+    """,
+    "join_asof_nearest": f"""
+        WITH purchases AS (
+            SELECT event_id AS purchase_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+            FROM events WHERE event_type = 'click'
+        ), ranked AS (
+            SELECT purchase_id, user_id, click_id, c_us - p_us AS delta_us,
+                   row_number() OVER (PARTITION BY purchase_id
+                                      ORDER BY abs(c_us - p_us), click_ts, click_id)
+                       AS rn
+            FROM purchases JOIN clicks
+              ON user_id = click_user AND abs(c_us - p_us) <= {ASOF_TOL_US}
+        )
+        SELECT purchase_id, user_id, click_id, CAST(delta_us AS BIGINT) AS delta_us
+        FROM ranked WHERE rn = 1
     """,
     "join_asof": """
         WITH purchases AS (

@@ -340,6 +340,89 @@ def test_bigram_pmi_matches_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# Holt filter vs the textbook sequential recurrence on the zero-padded window
+
+
+def test_holt_filter_matches_textbook_recurrence(spark):
+    from flink_streaming_gnn_spark.operators.anomaly import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_K,
+        ts_holt_filter,
+    )
+
+    got = {
+        (r["user_id"], r["event_id"]): (r["level"], r["trend"])
+        for r in ts_holt_filter(spark, SF_SMOKE).collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for e in events:
+        by_user.setdefault(e["user_id"], []).append(e)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda e: (e["ts"], e["event_id"]))
+        vals = [e["value"] for e in rows]
+        for t, e in enumerate(rows):
+            # textbook recurrence l=αx+(1−α)(l+b), b=β(l−l_prev)+(1−β)b
+            # run from zero state over the zero-padded last-K window —
+            # for a linear filter this equals the K-term truncated sum,
+            # independently of the matrix-power weight derivation
+            window = vals[max(0, t - HOLT_K + 1) : t + 1]
+            window = [0.0] * (HOLT_K - len(window)) + window
+            level = trend = 0.0
+            for x in window:
+                prev = level
+                level = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + trend)
+                trend = HOLT_BETA * (level - prev) + (1 - HOLT_BETA) * trend
+            gl, gt = got[(uid, e["event_id"])]
+            assert abs(gl - level) < 1e-3
+            assert abs(gt - trend) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join vs brute-force Python
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    from flink_streaming_gnn_spark.operators.joins import (
+        ASOF_TOL_US,
+        join_asof_nearest,
+    )
+
+    got = {
+        r["purchase_id"]: (r["click_id"], r["delta_us"])
+        for r in join_asof_nearest(spark, SF_SMOKE).collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "user_id",
+        "event_type",
+    ).collect()
+    purchases = [e for e in events if e["event_type"] == "purchase"]
+    clicks_by_user: dict[int, list] = {}
+    for e in events:
+        if e["event_type"] == "click":
+            clicks_by_user.setdefault(e["user_id"], []).append(e)
+    expected = {}
+    for p in purchases:
+        best = None
+        for c in clicks_by_user.get(p["user_id"], []):
+            d = c["t_us"] - p["t_us"]
+            if abs(d) > ASOF_TOL_US:
+                continue
+            key = (abs(d), c["t_us"], c["event_id"])
+            if best is None or key < best[0]:
+                best = (key, c["event_id"], d)
+        if best is not None:
+            expected[p["event_id"]] = (best[1], best[2])
+    assert got == expected
+    assert got  # fixture produces matches
+
+
+# ---------------------------------------------------------------------------
 # Lloyd k-means vs pure-numpy rounds (same seed, same rounding discipline)
 
 
