@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import derive_edges
 
-ROUND_CAP = 20  # ≥ log2 of any vertex count this engine will see locally
+ROUND_CAP = 48  # components halve per round: covers 2^48 vertices
 CC_CAP = 30  # merge-forest label-propagation cap per round
 
 
@@ -121,8 +121,10 @@ def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_w = 0.0
     n_edges = 0
     max_w = 0.0
+    converged = False
     for _ in range(ROUND_CAP):
         if e_cur.isEmpty():
+            converged = True
             break
         ed = F.struct("w", "a", "b", "u", "v").alias("ed")
         cand = e_cur.select(F.col("u").alias("comp"), ed).union(
@@ -167,6 +169,11 @@ def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v", "ed.w", "ed.a", "ed.b")
             .localCheckpoint()
         )
+    if not converged:
+        # a silent partial forest would be wrong-but-plausible output;
+        # fail loudly instead (components halve per round, so hitting the
+        # cap means something else broke)
+        raise RuntimeError(f"Borůvka did not converge within {ROUND_CAP} rounds")
     n_components = n_vertices - n_edges  # spanning-forest invariant
     return spark.createDataFrame(
         [
