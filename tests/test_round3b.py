@@ -340,6 +340,46 @@ def test_bigram_pmi_matches_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# Coreness (h-index fixpoint) vs exact min-heap peeling
+
+
+def test_coreness_matches_exact_peeling(spark):
+    import heapq
+
+    from flink_streaming_gnn_spark.graph.coreness import (
+        _undirected,
+        graph_coreness_hindex,
+    )
+
+    got = {
+        r["v"]: r["coreness"]
+        for r in graph_coreness_hindex(spark, SF_ORACLE).collect()
+    }
+    adj: dict[int, set] = {}
+    for r in _undirected(spark, SF_ORACLE).collect():
+        adj.setdefault(r["a"], set()).add(r["b"])
+    deg = {v: len(n) for v, n in adj.items()}
+    core: dict[int, int] = {}
+    removed: set = set()
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue
+        k = max(k, d)
+        core[v] = k
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+    assert got == core
+    assert max(got.values()) > 1  # non-trivial hierarchy on the fixture
+
+
+# ---------------------------------------------------------------------------
 # Holt filter vs the textbook sequential recurrence on the zero-padded window
 
 
