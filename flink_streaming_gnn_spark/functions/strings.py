@@ -51,9 +51,60 @@ def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"fn_string": fn_string, "fn_regexp_family": fn_regexp_family}
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation-aware grouping (the VARIANT-generation SQL
+    surface): a deterministically mixed-cased copy of event_type
+    (initcap / UPPER / raw by event_id residue) grouped under the
+    UTF8_LCASE collation — the engine groups case-insensitively WITHOUT
+    rewriting the data through lower(). Output is made deterministic by
+    reducing each group to its binary-min variant; the oracle expresses
+    the same semantics as GROUP BY lower(s) (collation is exactly
+    lower-normalization for this ASCII domain)."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = (
+        F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
+        .when(F.col("event_id") % 3 == 1, F.initcap("event_type"))
+        .otherwise(F.col("event_type"))
+    )
+    return (
+        ev.select(mixed.alias("s"))
+        .groupBy(F.collate("s", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min(F.col("s").cast("string")).alias("min_variant"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            F.lower("k").cast("string").alias("k_lower"), "min_variant", "n"
+        )
+        .orderBy("k_lower")
+    )
+
+
+QUERIES = {
+    "fn_string": fn_string,
+    "fn_regexp_family": fn_regexp_family,
+    "fn_collation_group": fn_collation_group,
+}
 
 ORACLE = {
+    "fn_collation_group": """
+        WITH mixed AS (
+            SELECT CASE
+                       WHEN event_id % 3 = 0 THEN upper(event_type)
+                       WHEN event_id % 3 = 1
+                           THEN upper(substr(event_type, 1, 1))
+                                || lower(substr(event_type, 2))
+                       ELSE event_type
+                   END AS s
+            FROM events
+        )
+        SELECT lower(s) AS k_lower,
+               min(s) AS min_variant,
+               CAST(count(*) AS BIGINT) AS n
+        FROM mixed
+        GROUP BY lower(s)
+        ORDER BY lower(s)
+    """,
     "fn_regexp_family": r"""
         SELECT doc_id,
                COALESCE(array_to_string(regexp_extract_all(text, '(\b[a-z]{4}\b)', 1), ','), '')

@@ -112,6 +112,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.collocations",
     "flink_streaming_gnn_spark.llm.kmeans",
     "flink_streaming_gnn_spark.graph.coreness",
+    "flink_streaming_gnn_spark.operators.metadata",
 )
 
 
