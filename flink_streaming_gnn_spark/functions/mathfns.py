@@ -54,9 +54,46 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"fn_math": fn_math, "fn_bitwise": fn_bitwise}
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_divide / try_cast /
+    try_element_at return NULL instead of raising — the error-tolerant
+    path a pipeline uses where a single bad row must not fail a 100 TB
+    job. Division by an engineered zero, a cast of free text to int, and
+    an out-of-range array index each produce NULL in both engines
+    (DuckDB: TRY_CAST + NULLIF-guarded division + safe list indexing)."""
+    ev = load_table(spark, sf_dir, "events")
+    zero_when_even = F.col("event_id") % 2  # 0 for even ids
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), zero_when_even).alias("div_or_null"),
+        # cast to double: an all-NULL decimal reaches pandas as None
+        # objects while DuckDB's all-NULL int arrives as float64 NaN —
+        # the driver's str() canon must see the same rendering
+        F.try_to_number(F.col("event_type"), F.lit("999"))
+        .cast("double")
+        .alias("cast_or_null"),
+        F.try_element_at(
+            F.split("event_type", ""), (F.col("event_id") % 20 + 1).cast("int")
+        ).alias("char_or_null"),
+    ).orderBy("event_id")
+
+
+QUERIES = {
+    "fn_math": fn_math,
+    "fn_bitwise": fn_bitwise,
+    "fn_try_arithmetic": fn_try_arithmetic,
+}
 
 ORACLE = {
+    "fn_try_arithmetic": """
+        SELECT event_id,
+               value / nullif(event_id % 2, 0) AS div_or_null,
+               TRY_CAST(event_type AS DOUBLE) AS cast_or_null,
+               string_split(event_type, '')[CAST(event_id % 20 + 1 AS INTEGER)]
+                   AS char_or_null
+        FROM events
+        ORDER BY event_id
+    """,
     "fn_math": """
         SELECT l_orderkey,
                l_linenumber,

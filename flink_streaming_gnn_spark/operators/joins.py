@@ -122,6 +122,29 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): customers
+    and suppliers matched on a NULLABLE nation key (nation 0 mapped to
+    NULL on both sides) — under ordinary equality the NULL rows silently
+    drop; the null-safe operator pairs them, the semantic a data-quality
+    join needs when 'unknown' must match 'unknown'. Output is the
+    per-key pair count (NULL key row included), keeping the result
+    bounded by |nations|."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("c_nat")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("s_nat")
+    )
+    return (
+        c.join(s, c.c_nat.eqNullSafe(s.s_nat))
+        .groupBy("c_nat")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(F.col("c_nat").cast("long").alias("nation_key"), "n_pairs")
+        .orderBy(F.col("nation_key").asc_nulls_first())
+    )
+
+
 ASOF_TOL_US = 3_600_000_000  # nearest-match tolerance: ±1 hour in µs
 
 
@@ -307,6 +330,7 @@ QUERIES = {
     "join_range_interval": join_range_interval,
     "join_asof": join_asof,
     "join_asof_nearest": join_asof_nearest,
+    "join_null_safe": join_null_safe,
     "join_multiway_star": join_multiway_star,
     "join_3way_revenue": join_multiway_star,  # BASELINE.md headline name
     "semi_anti": join_anti,  # BASELINE.md headline name
@@ -403,6 +427,18 @@ ORACLE = {
          AND e2.event_id <> e1.event_id
          AND e2.ts >= e1.ts
          AND e2.ts <= e1.ts + INTERVAL 15 MINUTE
+    """,
+    "join_null_safe": """
+        WITH c AS (
+            SELECT nullif(c_nationkey, 0) AS c_nat FROM customer
+        ), s AS (
+            SELECT nullif(s_nationkey, 0) AS s_nat FROM supplier
+        )
+        SELECT CAST(c_nat AS BIGINT) AS nation_key,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM c JOIN s ON c_nat IS NOT DISTINCT FROM s_nat
+        GROUP BY c_nat
+        ORDER BY nation_key NULLS FIRST
     """,
     "join_asof_nearest": f"""
         WITH purchases AS (
