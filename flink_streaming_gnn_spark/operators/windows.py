@@ -116,8 +116,38 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation — last/first non-null observation per
+    user timeline, the gap-carry-forward primitive behind LOCF
+    imputation: error events' values are masked to NULL and each row
+    reads the most recent (and the first upcoming) non-masked value.
+    One per-user sort shared by both frames, all JVM."""
+    ev = _t(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") == "error", None).otherwise(
+        F.col("value")
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        masked.alias("v_masked"),
+        F.last(masked, ignorenulls=True).over(w_back).alias("locf"),
+        F.first(masked, ignorenulls=True).over(w_fwd).alias("nocb"),
+    )
+
+
 QUERIES = {
     "win_ranking": win_ranking,
+    "win_ignore_nulls": win_ignore_nulls,
     "win_analytic": win_analytic,
     "win_frame_running": win_frame_running,
     "win_frame_range_interval": win_frame_range_interval,
@@ -136,6 +166,24 @@ _TOPK_SQL = """
 """
 
 ORACLE = {
+    "win_ignore_nulls": """
+        WITH m AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                       AS v_masked
+            FROM events
+        )
+        SELECT event_id, user_id, v_masked,
+               last_value(v_masked IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf,
+               first_value(v_masked IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nocb
+        FROM m
+    """,
     "win_frame_range_interval": """
         SELECT o_orderkey, o_custkey,
                strftime(o_orderdate, '%Y-%m-%d') AS day,
