@@ -66,12 +66,11 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.try_divide(F.col("value"), zero_when_even).alias("div_or_null"),
-        # cast to double: an all-NULL decimal reaches pandas as None
-        # objects while DuckDB's all-NULL int arrives as float64 NaN —
-        # the driver's str() canon must see the same rendering
-        F.try_to_number(F.col("event_type"), F.lit("999"))
-        .cast("double")
-        .alias("cast_or_null"),
+        # try_cast on BOTH sides (oracle uses TRY_CAST) so the semantics
+        # are equivalent for every input, not just the fixture's
+        # non-numeric event types — try_to_number('999') would reject
+        # 4+-digit / decimal / signed strings that TRY_CAST accepts
+        F.expr("try_cast(event_type AS double)").alias("cast_or_null"),
         F.try_element_at(
             F.split("event_type", ""), (F.col("event_id") % 20 + 1).cast("int")
         ).alias("char_or_null"),

@@ -89,11 +89,21 @@ QUERIES = {
 ORACLE = {
     "fn_collation_group": """
         WITH mixed AS (
+            -- faithful initcap twin: Spark initcap capitalizes the first
+            -- letter of EVERY whitespace-delimited word (not just the
+            -- string head), so the oracle maps the same per-word transform
+            -- over a space split rather than capitalizing only char 1
             SELECT CASE
                        WHEN event_id % 3 = 0 THEN upper(event_type)
                        WHEN event_id % 3 = 1
-                           THEN upper(substr(event_type, 1, 1))
-                                || lower(substr(event_type, 2))
+                           THEN array_to_string(
+                                    list_transform(
+                                        string_split(event_type, ' '),
+                                        w -> upper(substr(w, 1, 1))
+                                             || lower(substr(w, 2))
+                                    ),
+                                    ' '
+                                )
                        ELSE event_type
                    END AS s
             FROM events

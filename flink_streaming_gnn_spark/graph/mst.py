@@ -67,6 +67,7 @@ def _forest_cc(merge: DataFrame, max_rounds: int = CC_CAP) -> DataFrame:
     labels = (
         edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.b == labels.v)
@@ -91,7 +92,18 @@ def _forest_cc(merge: DataFrame, max_rounds: int = CC_CAP) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A merge forest can be a chain whose diameter exceeds the cap;
+        # returning partial labels would leave already-counted forest edges
+        # uncontracted in e_cur, letting them be chosen again later and
+        # double-counting total_weight/n_mst_edges in a plausible-looking
+        # summary. Fail loudly instead (same discipline as ROUND_CAP).
+        raise RuntimeError(
+            f"_forest_cc did not converge within {max_rounds} rounds; "
+            "raise CC_CAP (merge-forest diameter exceeded the cap)"
+        )
     return labels
 
 

@@ -38,7 +38,14 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _metadata_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _metadata_oracle_sql(sf_dir: str | None = None) -> str:
+    # Follow the SAME fixture-dir override the test harness uses
+    # (tests/conftest.py SF_ORACLE) so running the differential at any
+    # other sf dir compares Spark output against the right files.
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
+        )
     # the driver registers `lineitem` as a view without filename info, so
     # the oracle reads the parquet directly (same fixture path contract
     # the driver uses for the views)
