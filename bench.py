@@ -53,10 +53,10 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_best(fn, runs: int = 2, spark=None) -> float:
-    """Best-of-N wall time: a single 32-thread JVM runs dozens of
-    materializations per bench, so any one timing can eat a GC pause;
-    min-of-2 reports warm steady-state (both engines get it).
+def _time_runs(fn, runs: int = 2, spark=None) -> list[float]:
+    """Raw wall times for N runs (VERDICT r3 #9: the artifact records every
+    run, not just the min, so a future regression is attributable to box
+    variance vs code without re-running).
 
     Explicit System.gc() before EACH timed run: Spark's ContextCleaner
     releases per-query broadcast/shuffle state only after a driver GC
@@ -65,14 +65,21 @@ def _time_best(fn, runs: int = 2, spark=None) -> float:
     an un-GC'd session times the cheapest scan+agg at 4–11 s vs 0.5 s
     right after a collection. Standard JVM bench hygiene, applied outside
     the timed region (DuckDB gets its own clean connection)."""
-    best = float("inf")
+    out = []
     for _ in range(runs):
         if spark is not None:
             spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
+        out.append(round(time.perf_counter() - t0, 4))
+    return out
+
+
+def _time_best(fn, runs: int = 2, spark=None) -> float:
+    """Best-of-N wall time: a single 32-thread JVM runs dozens of
+    materializations per bench, so any one timing can eat a GC pause;
+    min-of-N reports warm steady-state (both engines get it)."""
+    return min(_time_runs(fn, runs=runs, spark=spark))
 
 
 # ---------------------------------------------------------------------------
@@ -327,19 +334,22 @@ def main() -> None:
         _materialize(queries[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         # best-of-3 for the headline (the official per-round record):
         # measured run-to-run spread on an otherwise-idle host is ±15%
         # with best-of-2; the third run costs ~7 s total and halves it
-        timings[name] = _time_best(
+        raw_runs[name] = _time_runs(
             lambda: _materialize(queries[name](spark, sf_dir)), runs=3, spark=spark
         )
+        timings[name] = min(raw_runs[name])
 
     payload = {
         "metric": "headline_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "runs": raw_runs,
         "sf": sf,
     }
 
