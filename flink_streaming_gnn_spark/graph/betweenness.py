@@ -56,8 +56,25 @@ def _undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex landmark betweenness: v, round(Σ_s δ(s,v), 6) over every
     vertex reached at depth ≥ 1 from any seed (zeros included — no float
-    positivity filter to disagree on)."""
+    positivity filter to disagree on).
+
+    ONE exchange per depth (VERDICT r3 "Next round" #6): the edge table is
+    checkpointed TWICE, hash-partitioned on each join key (``a`` for the
+    forward σ pass, ``b`` for the backward δ pass) with numPartitions =
+    spark.sql.shuffle.partitions, so every per-depth edge join finds its
+    edge side already clustered and only exchanges the (s, v) state side;
+    the SHUFFLE_HASH hint keeps the pre-partitioned side a build-side hash
+    map instead of forcing SMJ's per-round sort of 2|E| rows. Downstream
+    of the join, the σ aggregate keys (s, v) ⊇ the join's output
+    clustering (v), and the visited anti-join finds both sides clustered
+    on v (visited is re-clustered once per round at checkpoint time, where
+    its union would have been rewritten anyway) — so neither inserts an
+    exchange. Net per forward depth: one state exchange, previously five
+    (frontier, edges, σ agg, both anti-join sides)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = _undirected(spark, sf_dir).localCheckpoint()
+    edges_a = edges.repartition(n_part, "a").localCheckpoint()
+    edges_b = edges.repartition(n_part, "b").localCheckpoint()
     seeds = (
         edges.select("a")
         .distinct()
@@ -67,21 +84,31 @@ def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forward: per-depth (s, v, sigma) frames; visited set for the anti-join
     level0 = seeds.select("s", F.col("s").alias("v"), F.lit(1.0).alias("sigma"))
     levels = [level0.localCheckpoint()]
-    visited = levels[0].select("s", "v").localCheckpoint()
+    visited = (
+        levels[0].select("s", "v").repartition(n_part, "v").localCheckpoint()
+    )
     for _ in range(1, MAX_D + 1):
         frontier = levels[-1]
         nxt = (
-            frontier.join(edges, frontier.v == edges.a)
+            frontier.join(edges_a.hint("shuffle_hash"), frontier.v == edges_a.a)
             .select("s", F.col("b").alias("v"), "sigma")
-            .join(visited, ["s", "v"], "left_anti")
+            # aggregate BEFORE the visited anti-join: the join product is
+            # |frontier|·deg-sized, the aggregate is |reached-pairs|-sized,
+            # and dropping visited groups after summing is equivalent to
+            # dropping their rows before (whole (s, v) groups go either way)
             .groupBy("s", "v")
             .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "v"], "left_anti")
             .localCheckpoint()
         )
         if nxt.count() == 0:  # O(1) convergence read
             break
         levels.append(nxt)
-        visited = visited.union(nxt.select("s", "v")).localCheckpoint()
+        visited = (
+            visited.union(nxt.select("s", "v"))
+            .repartition(n_part, "v")
+            .localCheckpoint()
+        )
     # backward: δ per depth, deepest first (deepest level has δ = 0)
     deltas: list[DataFrame] = [None] * len(levels)
     deepest = len(levels) - 1
@@ -92,7 +119,7 @@ def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt_contrib = (
             deltas[d + 1]
             .join(levels[d + 1].withColumnRenamed("sigma", "sigma_w"), ["s", "v"])
-            .join(edges, F.col("v") == edges.b)
+            .join(edges_b.hint("shuffle_hash"), F.col("v") == edges_b.b)
             .select(
                 "s",
                 F.col("a").alias("u"),

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import derive_edges
+from flink_streaming_gnn_spark.plans.truncate import fresh_frame
 
 ROUND_CAP = 48  # components halve per round: covers 2^48 vertices
 CC_CAP = 30  # merge-forest label-propagation cap per round
@@ -58,42 +59,70 @@ def _simple_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _forest_cc(merge: DataFrame, max_rounds: int = CC_CAP) -> DataFrame:
-    """Hash-min connected components over the (small) per-round merge
-    forest; returns (v, lbl). Same loop as graph/components.py but over an
-    arbitrary in-memory edge frame."""
+    """Hash-min connected components WITH POINTER-JUMPING SHORTCUT EDGES
+    over the (small) per-round merge forest; returns (v, lbl).
+
+    Each round augments the neighbor lookup with the label map itself as
+    edges — (v ↔ lbl(v)) both directions — so one join+agg computes
+    ``min(lbl(v), min_nbr lbl, lbl(lbl(v)))``: the hash-min step AND the
+    ``lbl ← lbl[lbl]`` shortcut of pointer-jumping in a single round.
+    The shortcut halves remaining label-chain length per round, so
+    convergence is O(log diameter) instead of O(diameter). That matters
+    precisely here: a Borůvka merge forest is built from min-edge parent
+    pointers and can be a CHAIN of length ≈ #components (ADVICE r3) —
+    hash-min alone needs one full round per hop (measured: a 63-chain
+    converges in 7 rounds with shortcuts vs 63 without).
+
+    Loop mechanics (both measured — see ``plans/truncate.py``): the
+    evolving ``labels`` frame is referenced exactly TWICE per generation
+    (the shortcut union + the lookup join; a self-join formulation makes
+    Spark's driver-side planning cost grow ~3×/generation even across
+    localCheckpoint), the per-vertex self-edges that replace the outer
+    join are static and checkpointed once, each generation passes through
+    ``fresh_frame`` to sever accumulated analyzer state, and convergence
+    is a sum scalar — labels only decrease, so an unchanged (exact
+    decimal) label sum ⟺ no label changed, with no extra join.
+
+    Correctness of the combined operator: labels only decrease, shortcut
+    edges stay inside the component (v and lbl(v) share one), and a state
+    fixed under this step is fixed under plain hash-min (its updates are
+    a subset), which forces per-component-constant minimum labels — so
+    the sum-unchanged exit condition matches the plain loop's.
+    """
     edges = merge.union(
         merge.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    verts = edges.select(F.col("a").alias("v")).distinct()
+    # graph edges + per-vertex self-edges, static across rounds: the
+    # self-edge keeps every vertex's own label in the aggregate pool, so
+    # no outer join against labels is needed per round
+    base = edges.union(
+        verts.select(F.col("v").alias("a"), F.col("v").alias("b"))
     ).localCheckpoint()
-    labels = (
-        edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
-    ).localCheckpoint()
+    labels = verts.withColumn("lbl", F.col("v")).localCheckpoint()
+    prev_sum = None
     converged = False
     for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(labels, edges.b == labels.v)
-            .groupBy("a")
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        # pointer-jump shortcut edges v → lbl(v): the neighbor lookup then
+        # retrieves lbl(lbl(v)) alongside the graph neighbors' labels
+        aug = base.union(
+            labels.select(F.col("v").alias("a"), F.col("lbl").alias("b"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.v == nbr_min.a, "left")
-            .select(
-                "v",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
+        new_labels = fresh_frame(
+            aug.join(labels, F.col("b") == labels.v)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nl"))
+            .select(F.col("a").alias("v"), F.col("nl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()  # O(1) convergence scalar
-        )
+        lbl_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]  # O(1) convergence scalar (exact — no int64 overflow)
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and lbl_sum == prev_sum:
             converged = True
             break
+        prev_sum = lbl_sum
     if not converged:
         # A merge forest can be a chain whose diameter exceeds the cap;
         # returning partial labels would leave already-counted forest edges
@@ -135,9 +164,6 @@ def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_w = 0.0
     converged = False
     for _ in range(ROUND_CAP):
-        if e_cur.isEmpty():
-            converged = True
-            break
         ed = F.struct("w", "a", "b", "u", "v").alias("ed")
         cand = e_cur.select(F.col("u").alias("comp"), ed).union(
             e_cur.select(F.col("v").alias("comp"), ed)
@@ -151,7 +177,11 @@ def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stats = chosen.agg(
             F.sum("w").alias("s"), F.count("*").alias("n"), F.max("w").alias("m")
-        ).first()  # O(1) scalar read per round
+        ).first()  # O(1) scalar read per round (doubles as the empty check:
+        # e_cur empty ⟺ no chosen edges, saving the separate isEmpty job)
+        if int(stats["n"]) == 0:
+            converged = True
+            break
         total_w += float(stats["s"])
         n_edges += int(stats["n"])
         max_w = max(max_w, float(stats["m"]))
@@ -181,6 +211,9 @@ def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v", "ed.w", "ed.a", "ed.b")
             .localCheckpoint()
         )
+        # sever analyzer-state accumulation across outer generations too
+        # (e_cur references lbl twice per round — see plans/truncate.py)
+        e_cur = fresh_frame(e_cur)
     if not converged:
         # a silent partial forest would be wrong-but-plausible output;
         # fail loudly instead (components halve per round, so hitting the

@@ -1,0 +1,144 @@
+"""Deterministic corpus sampling and winnowing fingerprints (the
+training-data-pipeline tier next to ``llm/pipeline.py``'s gates).
+
+``sample_priority_hash``: priority sampling — the distributed,
+reproducible replacement for reservoir sampling. Each doc gets a
+priority from a Knuth multiplicative hash of its id; the sample is the
+k smallest priorities per stratum (one row_number window per source).
+Unlike ``rand()``-based sampling this is (a) deterministic across
+engines, retries, AND cluster sizes (the priority is a pure function of
+the row), (b) mergeable — the union of per-partition top-k pools
+contains the global top-k, so at 100 TB it's a partial top-k per task +
+one tiny merge, never a global sort; and (c) consistent under corpus
+growth (a doc's priority never changes, so samples are stable across
+snapshots — the property dataset versioning needs).
+
+``text_winnowing_fingerprint``: the full MOSS winnowing scheme
+(Schleimer/Wilkerson/Aiken, SIGMOD 2003) — k-gram hashes, minimum per
+sliding window of w consecutive hashes, distinct selected fingerprints
+per doc. Guarantees every match of length ≥ w+k−1 between two docs
+shares a fingerprint, with ~2/(w+1) selection density — the
+fingerprint-index input for plagiarism/near-dup mining that the
+simpler min-shingle in ``llm/textstats.py:text_fingerprint`` only
+approximates. Hashes are md5 hex strings (lexicographic min — identical
+in any engine); the whole plan is explode + one bounded window + one
+distinct, all JVM-side, shuffling on doc_id only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+KNUTH = 2654435761  # multiplicative hash constant (Knuth §6.4)
+HASH_MOD = 1 << 32
+SAMPLE_K = 5  # docs kept per source stratum
+WIN_K = 8  # winnowing k-gram length (chars)
+WIN_W = 8  # winnowing window (consecutive k-gram hashes)
+
+
+def sample_priority_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-SAMPLE_K docs per source by multiplicative-hash priority —
+    a deterministic, engine-portable stratified sample."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * KNUTH) % HASH_MOD).cast("long").alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .orderBy("source", "rk")
+    )
+
+
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct winnowing fingerprints per doc: md5 of char k-grams,
+    window-min over WIN_W consecutive positions (full windows only),
+    deduplicated."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    # sequence(1, n) with n < 1 would generate a DESCENDING sequence in
+    # Spark — gate to an empty array so short docs drop out, matching
+    # DuckDB's empty range()
+    positions = F.expr(
+        f"CASE WHEN len >= {WIN_K} THEN sequence(1, len - {WIN_K - 1}) "
+        "ELSE array() END"
+    )
+    grams = d.select(
+        "doc_id",
+        "len",
+        F.explode(positions).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "len",
+        "pos",
+        F.md5(F.expr(f"substring(text, pos, {WIN_K})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WIN_W - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        # full windows only: the window starting at pos needs WIN_W k-grams,
+        # i.e. pos ≤ (len − WIN_K + 1) − (WIN_W − 1)
+        .filter(F.col("pos") <= F.col("len") - (WIN_K - 1) - (WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )
+
+
+QUERIES = {
+    "sample_priority_hash": sample_priority_hash,
+    "text_winnowing_fingerprint": text_winnowing_fingerprint,
+}
+
+ORACLE = {
+    "sample_priority_hash": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST((doc_id * {KNUTH}) % {HASH_MOD} AS BIGINT) AS priority
+            FROM documents
+        )
+        SELECT doc_id, source, priority,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY priority, doc_id
+               ) AS BIGINT) AS rk
+        FROM d
+        QUALIFY rk <= {SAMPLE_K}
+        ORDER BY source, rk
+    """,
+    "text_winnowing_fingerprint": f"""
+        WITH pos AS (
+            SELECT doc_id, length(text) AS len, text,
+                   unnest(range(1, greatest(length(text) - {WIN_K - 1}, 0) + 1))
+                       AS p
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, len, p,
+                   md5(substr(text, CAST(p AS INTEGER), {WIN_K})) AS hh
+            FROM pos
+        ),
+        sel AS (
+            SELECT doc_id, p, len,
+                   min(hh) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING
+                   ) AS fp
+            FROM h
+        )
+        SELECT DISTINCT doc_id, fp
+        FROM sel
+        WHERE p <= len - {WIN_K - 1} - {WIN_W - 1}
+        ORDER BY doc_id, fp
+    """,
+}

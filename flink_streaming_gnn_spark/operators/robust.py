@@ -1,0 +1,195 @@
+"""Robust / order-statistic analytics (SURVEY.md §2B timeseries +
+aggregation families): rolling median, weighted median, and SAX
+symbolization — the estimators a pipeline reaches for when means are
+skew-poisoned (sensor spikes, price outliers, heavy-tailed values).
+
+All three are pure JVM window/agg plans:
+
+* ``ts_rolling_median`` — exact median over a 7-row trailing frame per
+  user. Spark has no native ``median`` window function, so the frame is
+  materialized as a bounded ``collect_list`` window (7 doubles per row —
+  constant memory per row at any scale), sorted in-expression, and the
+  middle element(s) read out. The DuckDB twin is its native windowed
+  ``median`` (quantile_cont 0.5, averaging the two middles on even
+  frames — matched exactly by the expression here).
+* ``agg_weighted_median`` — lower weighted median per group via the
+  classic cumulative-weight window: the smallest value whose running
+  weight reaches half the group total. Two windows + one aggregate,
+  shuffling once on the group key; value-ties are harmless (every tied
+  row carries the same value, so the crossing row's value is unique).
+* ``ts_sax_symbolize`` — SAX (Lin et al., "Symbolic Aggregate
+  approXimation") per-user symbolic word: z-normalize each event value
+  against the user's mean/std, bucket into 4 letters at the standard
+  N(0,1) quartile breakpoints (−0.6745, 0, 0.6745), and concatenate in
+  time order. The word is an order-preserving fingerprint of the shape
+  of each user's series — the time-series analogue of the document
+  fingerprints in ``llm/textstats.py``. z is rounded to 6 dp before
+  bucketing so the letter choice can't straddle an engine ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+FRAME = 7  # rolling-median trailing frame (6 preceding + current)
+BREAKS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartile breakpoints → 4 letters
+
+
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exact rolling median of ``value`` over the trailing 7-row
+    frame ordered by (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(FRAME - 1), 0)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(frame)
+    mid_hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(frame, F.greatest((n / 2).cast("int"), F.lit(1)))
+    med = F.when(n % 2 == 1, F.element_at(frame, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(med, 6).alias("roll_med"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag lower weighted median of extendedprice weighted by
+    quantity: min price whose cumulative quantity ≥ half the flag total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cum_w"),
+        F.sum("l_quantity").over(w_tot).alias("tot_w"),
+    )
+    return (
+        cum.filter(F.col("cum_w") >= F.col("tot_w") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("w_median"),
+            F.round(F.min("tot_w"), 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SAX word: z-scored values bucketed to letters a–d at the
+    N(0,1) quartile breakpoints, concatenated in (ts, event_id) order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mean = F.mean("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    z = F.round(
+        F.when(std.isNull() | (std == 0), F.lit(0.0)).otherwise(
+            (F.col("value") - mean) / std
+        ),
+        6,
+    )
+    letter = (
+        F.when(z < BREAKS[0], F.lit("a"))
+        .when(z < BREAKS[1], F.lit("b"))
+        .when(z < BREAKS[2], F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    lettered = ev.select("user_id", "ts", "event_id", letter.alias("letter"))
+    return (
+        lettered.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts, event_id, letter))),"
+                    " x -> x.letter)"
+                ),
+                "",
+            ).alias("sax_word"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {
+    "ts_rolling_median": ts_rolling_median,
+    "agg_weighted_median": agg_weighted_median,
+    "ts_sax_symbolize": ts_sax_symbolize,
+}
+
+ORACLE = {
+    "ts_rolling_median": f"""
+        SELECT event_id, user_id, value,
+               round(median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {FRAME - 1} PRECEDING AND CURRENT ROW
+               ), 6) AS roll_med
+        FROM events
+        ORDER BY event_id
+    """,
+    "agg_weighted_median": """
+        WITH cum AS (
+            SELECT l_returnflag, l_extendedprice,
+                   sum(l_quantity) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_w,
+                   sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               min(l_extendedprice) AS w_median,
+               round(min(tot_w), 2) AS total_weight
+        FROM cum
+        WHERE cum_w >= tot_w / 2
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "ts_sax_symbolize": f"""
+        WITH z AS (
+            SELECT user_id, ts, event_id,
+                   round(CASE
+                       WHEN stddev_samp(value) OVER (PARTITION BY user_id) IS NULL
+                            OR stddev_samp(value) OVER (PARTITION BY user_id) = 0
+                           THEN 0.0
+                       ELSE (value - avg(value) OVER (PARTITION BY user_id))
+                            / stddev_samp(value) OVER (PARTITION BY user_id)
+                   END, 6) AS zv
+            FROM events
+        ),
+        lettered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN zv < {BREAKS[0]} THEN 'a'
+                        WHEN zv < {BREAKS[1]} THEN 'b'
+                        WHEN zv < {BREAKS[2]} THEN 'c'
+                        ELSE 'd' END AS letter
+            FROM z
+        )
+        SELECT user_id,
+               string_agg(letter, '' ORDER BY ts, event_id) AS sax_word,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM lettered
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+}

@@ -113,6 +113,13 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.kmeans",
     "flink_streaming_gnn_spark.graph.coreness",
     "flink_streaming_gnn_spark.operators.metadata",
+    # --- round-4 additions ---
+    "flink_streaming_gnn_spark.graph.projection",
+    "flink_streaming_gnn_spark.operators.robust",
+    "flink_streaming_gnn_spark.operators.behavior",
+    "flink_streaming_gnn_spark.operators.layout",
+    "flink_streaming_gnn_spark.llm.sampling",
+    "flink_streaming_gnn_spark.functions.urlfns",
 )
 
 
@@ -232,6 +239,19 @@ _PRIORITY_KEYS_R5 = (
     "join_salted_skew",
     "fn_regexp_family",
     "fn_bitwise",
+    # round-4 additions (34 + 12 = 46 ≤ the 50-key window)
+    "graph_reciprocity",
+    "graph_bipartite_projection",
+    "ts_rolling_median",
+    "agg_weighted_median",
+    "ts_sax_symbolize",
+    "event_transition_matrix",
+    "user_rfm_segments",
+    "sink_zorder_layout",
+    "join_band_epsilon",
+    "sample_priority_hash",
+    "text_winnowing_fingerprint",
+    "fn_url_parse",
 )
 
 

@@ -309,6 +309,58 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # ZCA projection: after the (driver-side) moment pass the returned plan
     # is a pure map — no exchange, no join, no Python on the data path
     "emb_whitening": ([], [r"Exchange", r"Join", r"EvalPython", r"InPandas"]),
+    # --- round 4 ---
+    # reciprocity: equi self-join + hash aggs, all JVM, never a theta join
+    "graph_reciprocity": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
+    # projection: the top-k-per-customer degree bound must compile to the
+    # rank-pushdown operator (partial top-k before the exchange), and the
+    # bounded self-join must stay an equi join
+    "graph_bipartite_projection": (
+        [r"WindowGroupLimit", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
+    # rolling median: ONE user_id exchange feeding the bounded-frame window;
+    # the frame materialization stays a JVM expression (no Python)
+    "ts_rolling_median": ([r"Window"], [r"Join", r"EvalPython", r"InPandas"]),
+    # weighted median: both windows ride the same returnflag partitioning
+    "agg_weighted_median": (
+        [r"Window", r"HashAggregate"],
+        [r"Join", r"EvalPython"],
+    ),
+    "ts_sax_symbolize": ([r"Window", r"HashAggregate"], [r"Join", r"EvalPython"]),
+    "event_transition_matrix": (
+        [r"Window", r"HashAggregate"],
+        [r"Join", r"EvalPython"],
+    ),
+    "user_rfm_segments": ([r"Window", r"HashAggregate"], [r"Join", r"EvalPython"]),
+    # z-order stats read back the clustered files: plain scan + one agg
+    "sink_zorder_layout": ([r"HashAggregate"], [r"Join", r"EvalPython"]),
+    # band join: the ε-bucket rewrite MUST be a broadcast equi-join on the
+    # bucket id — a theta join (BNLJ/cartesian) means the rewrite regressed
+    "join_band_epsilon": (
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
+    # priority sample: rank predicate must push into WindowGroupLimit so
+    # each task keeps k rows per stratum before the exchange
+    "sample_priority_hash": (
+        [r"WindowGroupLimit"],
+        [r"Join", r"EvalPython"],
+    ),
+    # winnowing: explode + bounded window + distinct agg, all JVM
+    "text_winnowing_fingerprint": (
+        [r"Generate", r"Window", r"HashAggregate"],
+        [r"Join", r"EvalPython"],
+    ),
+    # url parse: map-only; the scan must prune documents.text (the fat
+    # column) — only the four metadata columns may be read
+    "fn_url_parse": (
+        [r"ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint"],
+        [r"Join", r"EvalPython", r"HashAggregate"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
