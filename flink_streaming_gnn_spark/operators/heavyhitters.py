@@ -1,0 +1,103 @@
+"""Heavy hitters via Misra–Gries candidate generation + exact recount
+(SURVEY.md §2B aggregation family; Misra & Gries 1982, the deterministic
+frequent-items summary that Spark's own ``freqItems`` implements).
+
+Exactness from an approximate sketch — the candidates-from-bucketed-tier
+discipline (``llm/dedup.py``'s LSH pattern applied to frequency): the
+final answer is EXACT (every token with global count strictly above
+n/K, with its exact count), but no full-vocabulary aggregation ever
+happens:
+
+  1. candidate pass: one Arrow ``mapInPandas`` over the token stream
+     runs Misra–Gries with K counters per partition, carrying the
+     counter dict across Arrow batches. Pigeonhole guarantee: a token
+     with global count > n/K must exceed n_p/K in at least one
+     partition (else its total would be ≤ Σ n_p/K = n/K), and
+     per-partition MG surfaces every such token — so the union of
+     partition candidates is a SUPERSET of the true heavy hitters.
+     Output is ≤ K rows per partition regardless of data size.
+  2. exact recount: semi-join the token stream against the (tiny,
+     broadcast) candidate set and aggregate — the shuffle carries only
+     candidate tokens, |candidates| ≤ K·#partitions keys total.
+  3. threshold: keep count > n/K, with n from a 1-row scalar aggregate
+     broadcast back in.
+
+At 100 TB this replaces a full-vocabulary shuffle (billions of distinct
+tokens under Heaps' law) with a bounded candidate recount — the sketch
+prunes, the recount proves. The oracle is the plain exact SQL the
+operator must equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+K = 50  # counters per partition; threshold is n/K
+
+
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    k = K
+
+    # defined inside the callable: pickle-by-value, so the driver can run
+    # this from a foreign cwd without the package importable on executors
+    def mg_candidates(batches):
+        """Misra–Gries with K counters over one partition's token stream
+        (state spans Arrow batches — the generator sees every batch of
+        the partition)."""
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop zeros (classic MG)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = tokens.mapInPandas(mg_candidates, "token string").distinct()
+    total = tokens.agg(F.count("*").alias("n"))
+    exact = (
+        tokens.join(maybe_broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(maybe_broadcast(total))
+        .filter(F.col("cnt") > F.col("n") / K)
+        .select("token", "cnt")
+        .orderBy(F.col("cnt").desc(), "token")
+    )
+
+
+QUERIES = {"agg_heavy_hitters": agg_heavy_hitters}
+
+ORACLE = {
+    "agg_heavy_hitters": f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks
+        GROUP BY token
+        HAVING count(*) > (SELECT n FROM tot) / {K}
+        ORDER BY cnt DESC, token
+    """,
+}

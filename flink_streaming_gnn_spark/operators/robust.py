@@ -17,6 +17,14 @@ All three are pure JVM window/agg plans:
   weight reaches half the group total. Two windows + one aggregate,
   shuffling once on the group key; value-ties are harmless (every tied
   row carries the same value, so the crossing row's value is unique).
+* ``ts_hampel_filter`` — the Hampel identifier (Pearson 2002): flag a
+  point as an outlier when it sits more than 3 scaled MADs
+  (1.4826·MAD ≈ σ under normality) from the rolling median of its
+  trailing 7-row frame, and emit the median-imputed series. Median AND
+  MAD both come from ONE bounded ``collect_list`` window (the
+  ``ts_rolling_median`` frame reused); deviations are computed against
+  the 6-dp-rounded median and re-rounded before the threshold compare,
+  so the outlier bit cannot straddle an engine ulp.
 * ``ts_sax_symbolize`` — SAX (Lin et al., "Symbolic Aggregate
   approXimation") per-user symbolic word: z-normalize each event value
   against the user's mean/std, bucket into 4 letters at the standard
@@ -94,6 +102,57 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMPEL_T = 3.0 * 1.4826  # threshold in scaled-MAD units
+
+
+def _arr_median(arr):
+    """Exact median of a sorted array column (quantile_cont 0.5 shape:
+    even frames average the two middles — matches DuckDB)."""
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, F.greatest((n / 2).cast("int"), F.lit(1)))
+    return F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2
+    )
+
+
+def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Hampel outlier filter over the trailing 7-row frame:
+    median + MAD from one collect_list window, 3-scaled-MAD threshold,
+    median-imputed output series."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(FRAME - 1), 0)
+    )
+    framed = ev.select(
+        "event_id", "user_id", "value", F.collect_list("value").over(w).alias("frame")
+    )
+    med = framed.withColumn(
+        "med", F.round(_arr_median(F.array_sort("frame")), 6)
+    )
+    devs = F.array_sort(
+        F.transform("frame", lambda e: F.round(F.abs(e - F.col("med")), 6))
+    )
+    mad = med.withColumn("mad", F.round(_arr_median(devs), 6))
+    is_out = F.round(F.abs(F.col("value") - F.col("med")), 6) > F.round(
+        F.lit(HAMPEL_T) * F.col("mad"), 6
+    )
+    return (
+        mad.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("med").alias("roll_med"),
+            F.col("mad").alias("roll_mad"),
+            is_out.alias("is_outlier"),
+            F.when(is_out, F.col("med")).otherwise(F.col("value")).alias("filtered"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user SAX word: z-scored values bucketed to letters a–d at the
     N(0,1) quartile breakpoints, concatenated in (ts, event_id) order."""
@@ -133,6 +192,7 @@ def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
     "agg_weighted_median": agg_weighted_median,
+    "ts_hampel_filter": ts_hampel_filter,
     "ts_sax_symbolize": ts_sax_symbolize,
 }
 
@@ -164,6 +224,35 @@ ORACLE = {
         WHERE cum_w >= tot_w / 2
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """,
+    "ts_hampel_filter": f"""
+        WITH f AS (
+            SELECT event_id, user_id, value,
+                   list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {FRAME - 1} PRECEDING AND CURRENT ROW
+                   ) AS frame
+            FROM events
+        ),
+        m AS (
+            SELECT *, round(list_aggregate(frame, 'median'), 6) AS med FROM f
+        ),
+        d AS (
+            SELECT *,
+                   round(list_aggregate(
+                       list_transform(frame, e -> round(abs(e - med), 6)),
+                       'median'), 6) AS mad
+            FROM m
+        )
+        SELECT event_id, user_id, value,
+               med AS roll_med,
+               mad AS roll_mad,
+               round(abs(value - med), 6) > round({HAMPEL_T!r} * mad, 6)
+                   AS is_outlier,
+               CASE WHEN round(abs(value - med), 6) > round({HAMPEL_T!r} * mad, 6)
+                    THEN med ELSE value END AS filtered
+        FROM d
+        ORDER BY event_id
     """,
     "ts_sax_symbolize": f"""
         WITH z AS (

@@ -120,6 +120,11 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.layout",
     "flink_streaming_gnn_spark.llm.sampling",
     "flink_streaming_gnn_spark.functions.urlfns",
+    "flink_streaming_gnn_spark.operators.cep",
+    "flink_streaming_gnn_spark.graph.appnp",
+    "flink_streaming_gnn_spark.graph.gatv2",
+    "flink_streaming_gnn_spark.llm.jl",
+    "flink_streaming_gnn_spark.operators.heavyhitters",
 )
 
 
@@ -252,6 +257,15 @@ _PRIORITY_KEYS_R5 = (
     "sample_priority_hash",
     "text_winnowing_fingerprint",
     "fn_url_parse",
+    # round-4b additions (46 + 7 = 53: the first 50 land in r5, the last
+    # 3 — in this registration order — carry to the r6 window)
+    "cep_window_funnel",
+    "cep_pattern_vshape",
+    "gnn_appnp_propagate",
+    "graph_gatv2_layer",
+    "emb_random_projection",
+    "ts_hampel_filter",
+    "agg_heavy_hitters",
 )
 
 

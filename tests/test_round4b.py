@@ -1,0 +1,261 @@
+"""Round-4b operator invariants — independent ground truths for the CEP,
+APPNP/GATv2, JL-projection, Hampel, and heavy-hitter keys (the sf0.01
+oracle differential auto-covers hash equality; these pin the SEMANTICS
+against from-scratch reimplementations: brute-force funnel chaining,
+dense numpy propagation, pandas rolling windows, exact counting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.graph.appnp import (
+    ALPHA,
+    ROUNDS,
+    TRACK_DIMS,
+    gnn_appnp_propagate,
+)
+from flink_streaming_gnn_spark.graph.gatv2 import (
+    LEAK,
+    OUT_DIMS,
+    PROJ,
+    gatv2_weights,
+    graph_gatv2_layer,
+)
+from flink_streaming_gnn_spark.llm.jl import OUT_DIM, emb_random_projection, jl_matrix
+from flink_streaming_gnn_spark.operators.cep import (
+    WINDOW_US,
+    cep_pattern_vshape,
+    cep_window_funnel,
+)
+from flink_streaming_gnn_spark.operators.heavyhitters import K, agg_heavy_hitters
+from flink_streaming_gnn_spark.operators.robust import FRAME, HAMPEL_T, ts_hampel_filter
+from flink_streaming_gnn_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _events_pdf(spark):
+    return (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators/cep.py
+
+
+def test_window_funnel_matches_bruteforce(spark):
+    """Greedy earliest-next chaining vs a brute-force per-start scan over
+    the raw event lists (independent formulation, no window functions)."""
+    got = {
+        r["user_id"]: (r["max_depth"], r["n_full"])
+        for r in cep_window_funnel(spark, SF_SMOKE).collect()
+    }
+    pdf = _events_pdf(spark)
+    pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+    expect = {}
+    for uid, g in pdf.groupby("user_id"):
+        views = np.sort(g.loc[g.event_type == "view", "us"].values)
+        clicks = np.sort(g.loc[g.event_type == "click", "us"].values)
+        buys = np.sort(g.loc[g.event_type == "purchase", "us"].values)
+        best, full = 1, 0
+        for t1 in views:
+            depth = 1
+            nc = clicks[clicks > t1]
+            if len(nc) and nc[0] <= t1 + WINDOW_US:
+                depth = 2
+                np_ = buys[buys > nc[0]]
+                if len(np_) and np_[0] <= t1 + WINDOW_US:
+                    depth = 3
+                    full += 1
+            best = max(best, depth)
+        expect[uid] = (best, full)
+    assert got == expect
+
+
+def test_vshape_matches_pandas(spark):
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in cep_pattern_vshape(spark, SF_SMOKE).collect()
+    }
+    pdf = _events_pdf(spark).sort_values(["user_id", "ts", "event_id"])
+    expect: dict[int, int] = {}
+    for uid, g in pdf.groupby("user_id"):
+        v = g["value"].values
+        n = sum(
+            1
+            for i in range(len(v) - 3)
+            if v[i + 1] < v[i] and v[i + 2] < v[i + 1] and v[i + 3] > v[i + 2]
+        )
+        if n:
+            expect[uid] = n
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# graph/appnp.py — dense numpy propagation with the same per-round rounding
+
+
+def _dense_graph(spark, drop_self_loops: bool = True):
+    from flink_streaming_gnn_spark.graph.edges import derive_vertex_embeddings
+
+    e = derive_vertex_embeddings(spark, SF_SMOKE).distinct()
+    if drop_self_loops:  # APPNP filters them (it adds its own); GATv2 keeps them
+        e = e.filter(F.col("src_v") != F.col("dst_v"))
+    e = e.toPandas()
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb["vec_id"].values
+    idx = {v: i for i, v in enumerate(ids)}
+    feats = np.array([np.asarray(x, dtype=np.float64) for x in emb["embedding"]])
+    return e, ids, idx, feats
+
+
+def test_appnp_matches_numpy(spark):
+    e, ids, idx, feats = _dense_graph(spark)
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s, d in zip(e["src_v"], e["dst_v"]):
+        A[idx[s], idx[d]] = 1.0
+    np.fill_diagonal(A, 1.0)  # self-loops
+    dhout = A.sum(axis=1) - np.diag(A) + 1  # dout(u)+1 (diag added above)
+    dhin = A.sum(axis=0) - np.diag(A) + 1
+    # rebuild exactly: dout counts real out-edges; the +1 self-loop is in A
+    A_real = A.copy()
+    np.fill_diagonal(A_real, 0.0)
+    dhout = A_real.sum(axis=1) + 1
+    dhin = A_real.sum(axis=0) + 1
+    norm = A / np.sqrt(np.outer(dhout, dhin))  # includes self-loop entries
+    h = np.round(feats[:, :TRACK_DIMS], 6)
+    z = h.copy()
+    for _ in range(ROUNDS):
+        z = np.round((1 - ALPHA) * (norm.T @ z) + ALPHA * h, 6) + 0.0
+    got = (
+        gnn_appnp_propagate(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = z[[idx[v] for v in got["vec_id"]]]
+    np.testing.assert_allclose(
+        got[[f"z{i}" for i in range(1, TRACK_DIMS + 1)]].values, want, atol=2e-6
+    )
+
+
+def test_gatv2_matches_numpy(spark):
+    e, ids, idx, feats = _dense_graph(spark, drop_self_loops=False)
+    w_src, w_dst, a = gatv2_weights()
+    s_proj = feats @ w_src.T  # (n, PROJ)
+    d_proj = feats @ w_dst.T
+    pairs = {(idx[s], idx[d]) for s, d in zip(e["src_v"], e["dst_v"])}
+    got = {
+        r["vec_id"]: [r[f"h{i}"] for i in range(1, OUT_DIMS + 1)]
+        for r in graph_gatv2_layer(spark, SF_SMOKE).collect()
+    }
+    by_dst: dict[int, list[int]] = {}
+    for s, d in pairs:
+        by_dst.setdefault(d, []).append(s)
+    for d, srcs in by_dst.items():
+        pre = s_proj[srcs] + d_proj[d]  # (deg, PROJ)
+        act = np.where(pre > 0, pre, LEAK * pre)
+        scores = act @ a
+        ex = np.exp(scores - scores.max())
+        alpha = ex / ex.sum()
+        h = alpha @ feats[srcs][:, :OUT_DIMS]
+        np.testing.assert_allclose(got[ids[d]], np.round(h, 4), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# llm/jl.py
+
+
+def test_jl_matches_numpy_and_preserves_distances(spark):
+    got = (
+        emb_random_projection(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    feats = np.array([np.asarray(x, dtype=np.float64) for x in emb["embedding"]])
+    w = jl_matrix()
+    want = feats @ w.T
+    proj = got[[f"p{j}" for j in range(OUT_DIM)]].values
+    np.testing.assert_allclose(proj, want, atol=2e-6)
+    # JL property (sanity, loose): median pairwise-distance distortion small
+    rng = np.random.RandomState(0)
+    i = rng.randint(0, len(feats), 200)
+    j = rng.randint(0, len(feats), 200)
+    keep = i != j
+    d_orig = np.linalg.norm(feats[i[keep]] - feats[j[keep]], axis=1)
+    d_proj = np.linalg.norm(want[i[keep]] - want[j[keep]], axis=1)
+    ratio = d_proj / d_orig
+    assert 0.75 < np.median(ratio) < 1.25
+
+
+# ---------------------------------------------------------------------------
+# operators/robust.py — Hampel
+
+
+def test_hampel_matches_pandas(spark):
+    got = (
+        ts_hampel_filter(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pdf = _events_pdf(spark).sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in pdf.groupby("user_id"):
+        v = g["value"].values
+        for k in range(len(v)):
+            frame = v[max(0, k - FRAME + 1) : k + 1]
+            med = round(float(np.median(frame)), 6)
+            mad = round(float(np.median(np.round(np.abs(frame - med), 6))), 6)
+            out = round(abs(v[k] - med), 6) > round(HAMPEL_T * mad, 6)
+            rows.append((g["event_id"].values[k], med, mad, bool(out)))
+    want = pd.DataFrame(rows, columns=["event_id", "med", "mad", "out"]).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    np.testing.assert_allclose(got["roll_med"], want["med"], atol=1e-9)
+    np.testing.assert_allclose(got["roll_mad"], want["mad"], atol=1e-9)
+    assert (got["is_outlier"] == want["out"]).all()
+    imputed = np.where(want["out"], want["med"], got["value"])
+    np.testing.assert_allclose(got["filtered"], imputed, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# operators/heavyhitters.py
+
+
+def test_heavy_hitters_exact(spark):
+    """The MG-candidates + exact-recount pipeline must equal the plain
+    exact computation (the superset guarantee makes the sketch invisible
+    in the result)."""
+    got = [(r["token"], r["cnt"]) for r in agg_heavy_hitters(spark, SF_SMOKE).collect()]
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .toPandas()["token"]
+    )
+    counts = toks.value_counts()
+    thr = len(toks) / K
+    want = sorted(
+        ((t, int(c)) for t, c in counts.items() if c > thr),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want

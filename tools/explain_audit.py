@@ -361,6 +361,40 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint"],
         [r"Join", r"EvalPython", r"HashAggregate"],
     ),
+    # --- round 4b ---
+    # window funnel: windows + ONE equi self-join (the chain assembly);
+    # never a theta join, never Python. The scan must prune down to the
+    # three columns the funnel touches.
+    "cep_window_funnel": (
+        [r"Window", r"ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
+    "cep_pattern_vshape": ([r"Window", r"HashAggregate"], [r"Join", r"EvalPython"]),
+    # APPNP: per-round dst-keyed hash aggs with map-side partials; the
+    # normalized edge list joins are equi joins
+    "gnn_appnp_propagate": (
+        [r"HashAggregate", r"partial_sum"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
+    # GATv2: projections + softmax windows + combine, 100% JVM
+    "graph_gatv2_layer": (
+        [r"Window", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
+    # JL projection: map-only — no exchange, no join, no Python
+    "emb_random_projection": ([], [r"Exchange", r"Join", r"EvalPython", r"InPandas"]),
+    # Hampel: one user_id exchange feeding the bounded-frame window
+    "ts_hampel_filter": ([r"Window"], [r"Join", r"EvalPython", r"InPandas"]),
+    # heavy hitters: the MG candidate pass is the ONE sanctioned Python
+    # stage (Arrow mapInPandas); the recount must be a broadcast equi-join
+    # — never a full-vocabulary exchange of the token stream before the
+    # candidate filter. (The plan's one BroadcastNestedLoopJoin is the
+    # deliberate 1-row scalar-total crossJoin for the n/K threshold — the
+    # repo-wide accepted bounded pattern — so BNLJ is not forbidden here.)
+    "agg_heavy_hitters": (
+        [r"MapInPandas", r"BroadcastHashJoin", r"HashAggregate"],
+        [r"CartesianProduct"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
