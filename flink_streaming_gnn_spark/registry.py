@@ -125,6 +125,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.gatv2",
     "flink_streaming_gnn_spark.llm.jl",
     "flink_streaming_gnn_spark.operators.heavyhitters",
+    "flink_streaming_gnn_spark.streaming.cep",
 )
 
 
@@ -257,8 +258,8 @@ _PRIORITY_KEYS_R5 = (
     "sample_priority_hash",
     "text_winnowing_fingerprint",
     "fn_url_parse",
-    # round-4b additions (46 + 7 = 53: the first 50 land in r5, the last
-    # 3 — in this registration order — carry to the r6 window)
+    # round-4b additions (46 + 8 = 54: the first 50 land in r5, the last
+    # 4 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -266,6 +267,7 @@ _PRIORITY_KEYS_R5 = (
     "emb_random_projection",
     "ts_hampel_filter",
     "agg_heavy_hitters",
+    "stream_cep_funnel_e2e",
 )
 
 

@@ -97,6 +97,25 @@ def test_vshape_matches_pandas(spark):
 
 
 # ---------------------------------------------------------------------------
+# streaming/cep.py — the funnel NFA's final state must equal the batch
+# operator on the same fixture (replay-batching independence)
+
+
+def test_stream_cep_funnel_equals_batch(spark):
+    from flink_streaming_gnn_spark.streaming.cep import stream_cep_funnel_e2e
+
+    got = {
+        r["user_id"]: (r["max_depth"], r["n_full"])
+        for r in stream_cep_funnel_e2e(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["user_id"]: (r["max_depth"], r["n_full"])
+        for r in cep_window_funnel(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # graph/appnp.py — dense numpy propagation with the same per-round rounding
 
 
