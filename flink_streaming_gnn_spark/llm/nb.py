@@ -1,0 +1,230 @@
+"""Multinomial Naive Bayes language classifier — trained AND scored as
+pure relational plans (SURVEY.md north-star text analysis: the
+fastText-style lightweight classifier every LLM curation pipeline runs
+for language-ID / quality routing, here with the training pass itself
+distributed and oracle-checked).
+
+* ``ml_nb_train`` — fit on the deterministic train split
+  (pmod(doc_id, 10) < 8 — the ``graph/train.py`` A3 splitter applied to
+  documents): class log-priors ln(docs_c/docs) and per-token Laplace-
+  smoothed log-likelihoods ln((cnt(w,c)+1)/(cnt(c)+V)). Training is two
+  hash aggregations over the exploded token stream plus a |V|-sized
+  vocabulary count — fully distributed, no driver-side model object.
+  Output: each class's top ``TOP_TOKENS`` most-likely tokens
+  (deterministic tie-break) + the prior, i.e. the inspectable head of
+  the model.
+* ``ml_nb_score`` — classify the HELD-OUT split with the model joined
+  in relationally: per (doc, class) score = log-prior + Σ_token
+  log-likelihood (unseen tokens take the smoothed floor
+  ln(1/(cnt(c)+V)) via the left-join default), argmax per doc with a
+  deterministic class tie-break, plus a correctness flag against the
+  fixture's true lang. Scores are rounded to 6 dp before the argmax so
+  sum-order last-ulp differences cannot flip near-ties across engines.
+
+Scale posture: the model is a (vocab × classes) table — Heaps'-law
+sublinear in the corpus, broadcast-gated into the scoring join
+(``maybe_broadcast``); the scoring pass is explode → join → one
+(doc, class) hash agg → one ranking window, all JVM. Training never
+moves anything bigger than the token-count aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+SPLIT_MOD = 10
+TRAIN_PARTS = 8  # pmod(doc_id, 10) < 8 → train; else score
+TOP_TOKENS = 10
+
+
+def _train_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(SPLIT_MOD)) < TRAIN_PARTS
+    )
+    return d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+
+
+def _model(spark: SparkSession, sf_dir: str):
+    """(likelihood df [lang, token, loglik], class df [lang, logprior,
+    n_tokens_c], vocab-size 1-row df)."""
+    toks = _train_tokens(spark, sf_dir)
+    vocab = toks.select("token").distinct().agg(F.count("*").alias("v"))
+    cls_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.pmod("doc_id", F.lit(SPLIT_MOD)) < TRAIN_PARTS)
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs_c"))
+    )
+    total = cls_docs.agg(F.sum("docs_c").alias("docs"))
+    classes = (
+        cls_docs.crossJoin(F.broadcast(total))
+        .select("lang", F.log(F.col("docs_c") / F.col("docs")).alias("logprior"))
+    )
+    cls_tok = toks.groupBy("lang").agg(F.count("*").alias("cnt_c"))
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    lik = (
+        counts.join(maybe_broadcast(cls_tok), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "token",
+            F.log((F.col("cnt") + 1) / (F.col("cnt_c") + F.col("v"))).alias("loglik"),
+        )
+    )
+    floor = (
+        cls_tok.crossJoin(F.broadcast(vocab))
+        .select("lang", F.log(F.lit(1.0) / (F.col("cnt_c") + F.col("v"))).alias("floor"))
+    )
+    return lik, classes, floor
+
+
+def ml_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lik, classes, _ = _model(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.col("loglik").desc(), F.col("token"))
+    return (
+        lik.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_TOKENS)
+        .join(maybe_broadcast(classes), "lang")
+        .select(
+            "lang",
+            "rank",
+            "token",
+            F.round("loglik", 6).alias("loglik"),
+            F.round("logprior", 6).alias("logprior"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+def ml_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lik, classes, floor = _model(spark, sf_dir)
+    test = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.pmod("doc_id", F.lit(SPLIT_MOD)) >= TRAIN_PARTS)
+        .select("doc_id", F.col("lang").alias("true_lang"), "text")
+    )
+    toks = test.select(
+        "doc_id", "true_lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    # every token instance scores against every class; unseen tokens take
+    # the class's smoothed floor
+    scored = (
+        toks.join(maybe_broadcast(floor.select("lang", "floor")), how="cross")
+        .join(maybe_broadcast(lik), ["lang", "token"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.coalesce(F.col("loglik"), F.col("floor")).alias("ll"),
+        )
+    )
+    per_class = (
+        scored.groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum("ll").alias("sum_ll"))
+        .join(maybe_broadcast(classes), "lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.round(F.col("sum_ll") + F.col("logprior"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    return (
+        per_class.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            "score",
+            (F.col("lang") == F.col("true_lang")).alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TRAIN_CTES = f"""
+        train AS (SELECT * FROM documents WHERE doc_id % {SPLIT_MOD} < {TRAIN_PARTS}),
+        toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM train
+        ),
+        vocab AS (SELECT count(DISTINCT token) AS v FROM toks),
+        classes AS (
+            SELECT lang,
+                   ln(count(*) / CAST((SELECT count(*) FROM train) AS DOUBLE))
+                       AS logprior
+            FROM train GROUP BY lang
+        ),
+        cls_tok AS (SELECT lang, count(*) AS cnt_c FROM toks GROUP BY lang),
+        lik AS (
+            SELECT t.lang, t.token,
+                   ln((count(*) + 1) / CAST(ct.cnt_c + (SELECT v FROM vocab) AS DOUBLE))
+                       AS loglik
+            FROM toks t JOIN cls_tok ct ON ct.lang = t.lang
+            GROUP BY t.lang, t.token, ct.cnt_c
+        )
+"""
+
+QUERIES = {"ml_nb_train": ml_nb_train, "ml_nb_score": ml_nb_score}
+
+ORACLE = {
+    "ml_nb_train": f"""
+        WITH {_TRAIN_CTES},
+        ranked AS (
+            SELECT lang, token, loglik,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY loglik DESC, token
+                   ) AS BIGINT) AS rank
+            FROM lik
+        )
+        SELECT r.lang, r.rank, r.token,
+               round(r.loglik, 6) AS loglik,
+               round(c.logprior, 6) AS logprior
+        FROM ranked r JOIN classes c ON c.lang = r.lang
+        WHERE r.rank <= {TOP_TOKENS}
+        ORDER BY r.lang, r.rank
+    """,
+    "ml_nb_score": f"""
+        WITH {_TRAIN_CTES},
+        floor_t AS (
+            SELECT lang,
+                   ln(1.0 / CAST(cnt_c + (SELECT v FROM vocab) AS DOUBLE)) AS floor
+            FROM cls_tok
+        ),
+        test AS (
+            SELECT doc_id, lang AS true_lang, text
+            FROM documents WHERE doc_id % {SPLIT_MOD} >= {TRAIN_PARTS}
+        ),
+        ttoks AS (
+            SELECT doc_id, true_lang, unnest(string_split(text, ' ')) AS token
+            FROM test
+        ),
+        scored AS (
+            SELECT tt.doc_id, tt.true_lang, f.lang,
+                   COALESCE(l.loglik, f.floor) AS ll
+            FROM ttoks tt
+            CROSS JOIN floor_t f
+            LEFT JOIN lik l ON l.lang = f.lang AND l.token = tt.token
+        ),
+        per_class AS (
+            SELECT s.doc_id, s.true_lang, s.lang,
+                   round(sum(s.ll) + any_value(c.logprior), 6) AS score
+            FROM scored s JOIN classes c ON c.lang = s.lang
+            GROUP BY s.doc_id, s.true_lang, s.lang
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, lang
+                   ) AS rn
+            FROM per_class
+        )
+        SELECT doc_id, lang AS pred_lang, score,
+               lang = true_lang AS is_correct
+        FROM best WHERE rn = 1
+        ORDER BY doc_id
+    """,
+}

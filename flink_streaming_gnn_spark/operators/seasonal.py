@@ -11,6 +11,15 @@ the two views an ops/warehouse layer derives from any event log).
   event opens a validity interval closed by the user's next event
   (``lead()``); the open interval is flagged current. One window sort
   per user, no join.
+* ``ts_decompose_ma`` — classical moving-average seasonal decomposition
+  (the STL-shaped trend/seasonal/residual split, Kendall–Stuart
+  textbook form): hourly event counts → trend = centered 25-hour
+  moving average (full frames only, edges NULL like the textbook
+  definition) → seasonal = per hour-of-day mean of the detrended
+  series → residual. The hourly series is a distributed pre-aggregation
+  first; the windows then run over the |hours|-sized series (single
+  reducer BY DEFINITION of a global decomposition — the abc_pareto
+  discipline, input is the aggregate not the event log).
 
 At 100 TB: the profile output is 168 rows regardless of input size
 (perfectly mergeable); SCD2 rides a single user-partitioned sort —
@@ -63,9 +72,39 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MA_HALF = 12  # centered 25-hour trend window
+
+
+def ts_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w_ma = Window.orderBy("bucket").rowsBetween(-MA_HALF, MA_HALF)
+    trended = hourly.select(
+        "bucket",
+        "n",
+        # full frames only: edges have no defined centered MA
+        F.when(
+            F.count("*").over(w_ma) == 2 * MA_HALF + 1,
+            F.avg(F.col("n").cast("double")).over(w_ma),
+        ).alias("trend"),
+    ).withColumn("detr", F.col("n") - F.col("trend"))
+    w_hod = Window.partitionBy(F.hour("bucket"))
+    seas = trended.withColumn("seasonal", F.avg("detr").over(w_hod))
+    return seas.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
+    ).orderBy("bucket")
+
+
 QUERIES = {
     "ts_seasonal_profile": ts_seasonal_profile,
     "scd2_intervals": scd2_intervals,
+    "ts_decompose_ma": ts_decompose_ma,
 }
 
 ORACLE = {
@@ -90,5 +129,35 @@ ORACLE = {
                (lead(ts) OVER w IS NULL) AS is_current
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "ts_decompose_ma": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        trended AS (
+            SELECT bucket, n,
+                   CASE WHEN count(*) OVER w_ma = {2 * MA_HALF + 1}
+                        THEN avg(CAST(n AS DOUBLE)) OVER w_ma
+                   END AS trend
+            FROM hourly
+            WINDOW w_ma AS (ORDER BY bucket
+                            ROWS BETWEEN {MA_HALF} PRECEDING
+                                     AND {MA_HALF} FOLLOWING)
+        ),
+        detr AS (SELECT *, n - trend AS d FROM trended),
+        seas AS (
+            SELECT *,
+                   avg(d) OVER (PARTITION BY extract(hour FROM bucket))
+                       AS seasonal
+            FROM detr
+        )
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+               round(trend, 4) AS trend,
+               round(seasonal, 4) AS seasonal,
+               round(d - seasonal, 4) AS residual
+        FROM seas
+        ORDER BY bucket
     """,
 }

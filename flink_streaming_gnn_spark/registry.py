@@ -126,6 +126,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.jl",
     "flink_streaming_gnn_spark.operators.heavyhitters",
     "flink_streaming_gnn_spark.streaming.cep",
+    "flink_streaming_gnn_spark.llm.nb",
 )
 
 
@@ -258,8 +259,8 @@ _PRIORITY_KEYS_R5 = (
     "sample_priority_hash",
     "text_winnowing_fingerprint",
     "fn_url_parse",
-    # round-4b additions (46 + 8 = 54: the first 50 land in r5, the last
-    # 4 — in this registration order — carry to the r6 window)
+    # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
+    # 7 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -268,6 +269,9 @@ _PRIORITY_KEYS_R5 = (
     "ts_hampel_filter",
     "agg_heavy_hitters",
     "stream_cep_funnel_e2e",
+    "ml_nb_train",
+    "ml_nb_score",
+    "ts_decompose_ma",
 )
 
 

@@ -258,6 +258,86 @@ def test_hampel_matches_pandas(spark):
 
 
 # ---------------------------------------------------------------------------
+# llm/nb.py — from-scratch Python multinomial NB parity
+
+
+def test_nb_score_matches_python(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    from flink_streaming_gnn_spark.llm.nb import (
+        SPLIT_MOD,
+        TRAIN_PARTS,
+        ml_nb_score,
+    )
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang", "text")
+        .toPandas()
+    )
+    train = docs[docs.doc_id % SPLIT_MOD < TRAIN_PARTS]
+    test = docs[docs.doc_id % SPLIT_MOD >= TRAIN_PARTS]
+    cls_docs = Counter(train["lang"])
+    n_docs = len(train)
+    counts: dict[str, Counter] = defaultdict(Counter)
+    vocab = set()
+    for lang, text in zip(train["lang"], train["text"]):
+        toks = text.split(" ")
+        counts[lang].update(toks)
+        vocab.update(toks)
+    v = len(vocab)
+    cnt_c = {c: sum(counts[c].values()) for c in cls_docs}
+    want = {}
+    for doc_id, text in zip(test["doc_id"], test["text"]):
+        best = None
+        for c in sorted(cls_docs):
+            s = sum(
+                math.log((counts[c].get(t, 0) + 1) / (cnt_c[c] + v))
+                for t in text.split(" ")
+            )
+            s = round(s + math.log(cls_docs[c] / n_docs), 6)
+            if best is None or s > best[1]:  # lang-asc iteration = tiebreak
+                best = (c, s)
+        want[doc_id] = best
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["score"])
+        for r in ml_nb_score(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# operators/seasonal.py — ts_decompose_ma pandas parity
+
+
+def test_decompose_ma_matches_pandas(spark):
+    from flink_streaming_gnn_spark.operators.seasonal import (
+        MA_HALF,
+        ts_decompose_ma,
+    )
+
+    got = ts_decompose_ma(spark, SF_SMOKE).toPandas()
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").toPandas()
+    hourly = (
+        ev["ts"].dt.floor("h").value_counts().sort_index().rename("n").reset_index()
+    )
+    n = hourly["n"].astype(float)
+    trend = n.rolling(2 * MA_HALF + 1, center=True).mean()
+    detr = n - trend
+    seasonal = detr.groupby(hourly["ts"].dt.hour).transform("mean")
+    resid = detr - seasonal
+    assert len(got) == len(hourly)
+    np.testing.assert_allclose(got["n"], hourly["n"])
+    np.testing.assert_allclose(got["trend"], np.round(trend, 4), atol=1e-9)
+    np.testing.assert_allclose(got["seasonal"], np.round(seasonal, 4), atol=1e-9)
+    np.testing.assert_allclose(got["residual"], np.round(resid, 4), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
 # operators/heavyhitters.py
 
 

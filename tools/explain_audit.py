@@ -395,6 +395,23 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas", r"BroadcastHashJoin", r"HashAggregate"],
         [r"CartesianProduct"],
     ),
+    # NB training: pure hash aggs + small-side joins, no Python anywhere
+    "ml_nb_train": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # NB scoring: the classes cross-join is the deliberate bounded
+    # |classes|-row broadcast; the likelihood join must be an equi join
+    "ml_nb_score": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # MA decomposition: hourly pre-agg with map-side partials before the
+    # series-sized windows
+    "ts_decompose_ma": (
+        [r"HashAggregate", r"partial_count", r"Window"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
