@@ -260,7 +260,7 @@ _PRIORITY_KEYS_R5 = (
     "text_winnowing_fingerprint",
     "fn_url_parse",
     # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
-    # 7 — in this registration order — carry to the r6 window)
+    # 8 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -272,6 +272,7 @@ _PRIORITY_KEYS_R5 = (
     "ml_nb_train",
     "ml_nb_score",
     "ts_decompose_ma",
+    "stream_tumbling_append_e2e",
 )
 
 

@@ -267,6 +267,54 @@ def stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
+WATERMARK_DELAY = "30 minutes"
+WATERMARK_DELAY_US = 30 * 60 * 1_000_000
+
+
+def stream_tumbling_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10th end-to-end streaming key, and the only WATERMARK-GATED
+    APPEND semantics in the official artifact: a 1-hour tumbling window ×
+    event_type aggregation under ``withWatermark(30 min)`` in append mode
+    — a window row is emitted exactly once, when the watermark passes the
+    window's end, and tail windows the watermark never passes are
+    WITHHELD (that is the semantics, not data loss).
+
+    Determinism: the replay chunks are event-time-range ordered
+    (replay.py), so no row is ever behind the watermark on arrival
+    (nothing is late-dropped; the aggregate values equal batch values),
+    and availableNow's final no-data micro-batch advances the global
+    watermark to max(ts) − 30 min, closing every window whose end ≤ that
+    bound. The oracle computes the same batch aggregation HAVING
+    window_end ≤ max(ts) − 30 min — the emitted set is a pure function
+    of the fixture.
+    """
+    from pyspark.sql import functions as F
+
+    from flink_streaming_gnn_spark.streaming.replay import (
+        events_stream,
+        run_append_to_completion,
+    )
+
+    stream = events_stream(spark, sf_dir, files_per_trigger=2).withWatermark(
+        "ts", WATERMARK_DELAY
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = run_append_to_completion(agg, "tumbling_append_e2e")
+    return out.orderBy("window_start", "event_type")
+
+
 QUERIES = {
     "stream_windowed_topk": stream_windowed_topk,
     "stream_cdc_snapshot": stream_cdc_snapshot,
@@ -275,11 +323,31 @@ QUERIES = {
     "stream_gnn_sage_e2e": stream_gnn_sage_e2e,
     "stream_decayed_memory_e2e": stream_decayed_memory_e2e,
     "stream_dedup_e2e": stream_dedup_e2e,
+    "stream_tumbling_append_e2e": stream_tumbling_append_e2e,
 }
 
 from flink_streaming_gnn_spark.streaming.gnn import _windowed_oracle_sql
 
 ORACLE = {
+    # watermark-gated append: the emitted set is every window whose end the
+    # final watermark (max ts − delay) passed; values equal the batch agg
+    "stream_tumbling_append_e2e": f"""
+        WITH wm AS (
+            SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+        ),
+        agg AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, n_events, sum_value
+        FROM agg
+        WHERE bucket + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        ORDER BY window_start, event_type
+    """,
     # streaming dedup final sink == batch DISTINCT over the key columns
     "stream_dedup_e2e": """
         SELECT CAST(user_id AS BIGINT) AS user_id, event_type

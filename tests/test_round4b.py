@@ -258,6 +258,31 @@ def test_hampel_matches_pandas(spark):
 
 
 # ---------------------------------------------------------------------------
+# streaming/e2e.py — watermark-gated append: emitted set = closed windows,
+# values = batch values, tail withheld
+
+
+def test_stream_tumbling_append_semantics(spark):
+    import pandas as pd
+
+    from flink_streaming_gnn_spark.streaming.e2e import stream_tumbling_append_e2e
+    from flink_streaming_gnn_spark.streaming.windows import stream_tumbling_window
+
+    got = stream_tumbling_append_e2e(spark, SF_SMOKE).toPandas()
+    batch = stream_tumbling_window(spark, SF_SMOKE).toPandas()
+    ev = load_table(spark, SF_SMOKE, "events").select("ts").toPandas()
+    wm = ev["ts"].max() - pd.Timedelta(minutes=30)
+    starts = pd.to_datetime(batch["window_start"])
+    closed = batch[(starts + pd.Timedelta(hours=1)) <= wm]
+    open_ = batch[(starts + pd.Timedelta(hours=1)) > wm]
+    assert len(open_) > 0  # the fixture must actually exercise withholding
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = closed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_like=True)
+
+
+# ---------------------------------------------------------------------------
 # llm/nb.py — from-scratch Python multinomial NB parity
 
 
