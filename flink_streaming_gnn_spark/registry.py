@@ -127,6 +127,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.heavyhitters",
     "flink_streaming_gnn_spark.streaming.cep",
     "flink_streaming_gnn_spark.llm.nb",
+    "flink_streaming_gnn_spark.graph.condensation",
 )
 
 
@@ -260,7 +261,7 @@ _PRIORITY_KEYS_R5 = (
     "text_winnowing_fingerprint",
     "fn_url_parse",
     # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
-    # 8 — in this registration order — carry to the r6 window)
+    # 9 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -273,6 +274,7 @@ _PRIORITY_KEYS_R5 = (
     "ml_nb_score",
     "ts_decompose_ma",
     "stream_tumbling_append_e2e",
+    "graph_condensation_dag",
 )
 
 

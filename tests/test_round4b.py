@@ -363,6 +363,102 @@ def test_decompose_ma_matches_pandas(spark):
 
 
 # ---------------------------------------------------------------------------
+# graph/condensation.py — from-scratch Tarjan + longest-path DP parity
+
+
+def test_condensation_matches_python(spark):
+    from flink_streaming_gnn_spark.graph.condensation import graph_condensation_dag
+    from flink_streaming_gnn_spark.graph.edges import derive_vertex_embeddings
+
+    e = (
+        derive_vertex_embeddings(spark, SF_SMOKE)
+        .distinct()
+        .filter(F.col("src_v") != F.col("dst_v"))
+        .toPandas()
+    )
+    adj: dict[int, list[int]] = {}
+    verts = set()
+    for s, d in zip(e["src_v"], e["dst_v"]):
+        adj.setdefault(int(s), []).append(int(d))
+        verts.update((int(s), int(d)))
+    # iterative Tarjan
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    comp: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w_ = succs[i]
+                if w_ not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w_, 0))
+                    recurse = True
+                    break
+                if w_ in on:
+                    low[v] = min(low[v], index[w_])
+            if not recurse:
+                work.pop()
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        w_ = stack.pop()
+                        on.discard(w_)
+                        members.append(w_)
+                        if w_ == v:
+                            break
+                    lab = min(members)
+                    for m in members:
+                        comp[m] = lab
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+
+    for v in sorted(verts):
+        if v not in index:
+            strongconnect(v)
+    cedges = {
+        (comp[int(s)], comp[int(d)])
+        for s, d in zip(e["src_v"], e["dst_v"])
+        if comp[int(s)] != comp[int(d)]
+    }
+    comps = sorted(set(comp.values()))
+    sizes = {c: 0 for c in comps}
+    for v in verts:
+        sizes[comp[v]] += 1
+    level = {c: 0 for c in comps}
+    for _ in range(len(comps)):  # DAG DP to fixpoint
+        changed = False
+        for a, b in cedges:
+            if level[a] + 1 > level[b]:
+                level[b] = level[a] + 1
+                changed = True
+        if not changed:
+            break
+    n_succ = {c: 0 for c in comps}
+    for a, _b in cedges:
+        n_succ[a] += 1
+    got = {
+        r["scc"]: (r["n_vertices"], r["level"], r["n_succ"])
+        for r in graph_condensation_dag(spark, SF_SMOKE).collect()
+    }
+    want = {c: (sizes[c], level[c], n_succ[c]) for c in comps}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # operators/heavyhitters.py
 
 
