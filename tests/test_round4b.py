@@ -283,6 +283,42 @@ def test_stream_tumbling_append_semantics(spark):
 
 
 # ---------------------------------------------------------------------------
+# streaming/joins.py — watermarked LEFT OUTER stream-stream join: matched
+# pairs all emit; null rows exactly for unmatched purchases the final
+# global watermark passed
+
+
+def test_stream_outer_join_semantics(spark):
+    import pandas as pd
+
+    from flink_streaming_gnn_spark.streaming.joins import (
+        BAND_MINUTES,
+        stream_outer_join_e2e,
+    )
+
+    got = stream_outer_join_e2e(spark, SF_SMOKE).toPandas()
+    evt = _events_pdf(spark)
+    p = evt[evt.event_type == "purchase"]
+    c = evt[evt.event_type == "click"]
+    m = p.merge(c, on="user_id", suffixes=("_p", "_c"))
+    m = m[
+        (m.ts_c >= m.ts_p - pd.Timedelta(minutes=BAND_MINUTES))
+        & (m.ts_c <= m.ts_p)
+    ]
+    wm = min(p.ts.max(), c.ts.max()) - pd.Timedelta(minutes=BAND_MINUTES)
+    matched_ids = set(m.event_id_p)
+    got_matched = got[got.c_id.notna()]
+    got_nulls = got[got.c_id.isna()]
+    assert set(zip(got_matched.p_id, got_matched.c_id.astype(int))) == set(
+        zip(m.event_id_p, m.event_id_c)
+    )
+    want_nulls = set(p[(~p.event_id.isin(matched_ids)) & (p.ts < wm)].event_id)
+    assert set(got_nulls.p_id) == want_nulls
+    # the fixture must actually exercise withholding
+    assert len(p[(~p.event_id.isin(matched_ids)) & (p.ts >= wm)]) > 0
+
+
+# ---------------------------------------------------------------------------
 # llm/nb.py — from-scratch Python multinomial NB parity
 
 
