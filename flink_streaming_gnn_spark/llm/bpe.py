@@ -99,6 +99,50 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained tokenizer — the other half of the BPE
+    story (train without apply is not a tokenizer): per document, segment
+    every word with the ``MERGES`` learned rules applied in rank order
+    and emit token-count statistics (the sequence-length accounting a
+    packing/budgeting pipeline consumes).
+
+    The merge table is read once from the training pass (MERGES bounded
+    1-row argmax reads — the same driver reads training itself does) and
+    inlined as literal rules, so encoding is explode → a chain of MERGES
+    boundary-safe literal replaces → one doc_id aggregate: zero Python,
+    one shuffle, and the per-word cost is O(MERGES) string scans
+    regardless of corpus size. The DuckDB oracle re-derives the SAME
+    rules entirely in SQL (the training CTEs) and applies them with
+    nested replaces — a cross-formulation check of train AND encode."""
+    rules = [
+        (r["left_tok"], r["right_tok"], r["merged"])
+        for r in tokenizer_bpe_train(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    seq = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" ")
+    )
+    for left, right, merged in rules:
+        seq = F.replace(seq, F.lit(f" {left} {right} "), F.lit(f" {merged} "))
+    toks = words.select("doc_id", F.split(F.trim(seq), " ").alias("toks"))
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.aggregate(F.transform("toks", F.length), F.lit(0), lambda a, x: a + x))
+                / F.sum(F.size("toks")),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _bpe_oracle_sql(merges: int = MERGES) -> str:
     blocks = [
         r"""wf AS MATERIALIZED (
@@ -150,5 +194,47 @@ def _bpe_oracle_sql(merges: int = MERGES) -> str:
     """
 
 
-QUERIES = {"tokenizer_bpe_train": tokenizer_bpe_train}
-ORACLE = {"tokenizer_bpe_train": _bpe_oracle_sql()}
+def _bpe_encode_oracle_sql(merges: int = MERGES) -> str:
+    # training CTE blocks (w0..wN, t1..tN) reused verbatim, then the
+    # nested-replace application of the derived rules to every word
+    train_body = _bpe_oracle_sql(merges)
+    # extract the WITH body up to the final SELECT (the blocks string)
+    expr = "' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '"
+    for r in range(1, merges + 1):
+        expr = (
+            f"replace({expr}, ' ' || (SELECT pair FROM t{r}) || ' ', "
+            f"' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' ')"
+        )
+    blocks = train_body.split("WITH", 1)[1].rsplit("SELECT merge_rank", 1)[0]
+    blocks = blocks.rstrip().rstrip(",")  # the training SELECT is replaced
+    return f"""
+        WITH {blocks},
+        dwords AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        enc AS (
+            SELECT doc_id,
+                   string_split(trim({expr}), ' ') AS toks
+            FROM dwords WHERE word <> ''
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+               round(sum(list_aggregate(list_transform(toks, t -> length(t)),
+                                        'sum'))
+                     / CAST(sum(len(toks)) AS DOUBLE), 4) AS chars_per_token
+        FROM enc
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+QUERIES = {
+    "tokenizer_bpe_train": tokenizer_bpe_train,
+    "tokenizer_bpe_encode": tokenizer_bpe_encode,
+}
+ORACLE = {
+    "tokenizer_bpe_train": _bpe_oracle_sql(),
+    "tokenizer_bpe_encode": _bpe_encode_oracle_sql(),
+}

@@ -261,7 +261,7 @@ _PRIORITY_KEYS_R5 = (
     "text_winnowing_fingerprint",
     "fn_url_parse",
     # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
-    # 10 — in this registration order — carry to the r6 window)
+    # 11 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -276,6 +276,7 @@ _PRIORITY_KEYS_R5 = (
     "stream_tumbling_append_e2e",
     "graph_condensation_dag",
     "stream_outer_join_e2e",
+    "tokenizer_bpe_encode",
 )
 
 

@@ -399,6 +399,48 @@ def test_decompose_ma_matches_pandas(spark):
 
 
 # ---------------------------------------------------------------------------
+# llm/bpe.py — encode parity against a from-scratch Python BPE apply
+
+
+def test_bpe_encode_matches_python(spark):
+    from flink_streaming_gnn_spark.llm.bpe import (
+        tokenizer_bpe_encode,
+        tokenizer_bpe_train,
+    )
+
+    rules = [
+        (r["left_tok"], r["right_tok"], r["merged"])
+        for r in tokenizer_bpe_train(spark, SF_SMOKE).orderBy("merge_rank").collect()
+    ]
+    docs = (
+        load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").toPandas()
+    )
+
+    def encode_word(word: str) -> list[str]:
+        seq = " " + " ".join(word) + " "
+        for left, right, merged in rules:
+            seq = seq.replace(f" {left} {right} ", f" {merged} ")
+        return seq.split()
+
+    want = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = [w for w in text.split(" ") if w]
+        toks = [encode_word(w) for w in words]
+        n_tok = sum(len(t) for t in toks)
+        n_chars = sum(len(x) for t in toks for x in t)
+        want[doc_id] = (len(words), n_tok, n_chars / n_tok)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["chars_per_token"])
+        for r in tokenizer_bpe_encode(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][:2] == want[k][:2], (k, got[k], want[k])
+        # engines round half-up, Python half-even: compare pre-rounding
+        assert abs(got[k][2] - want[k][2]) < 6e-5, (k, got[k], want[k])
+
+
+# ---------------------------------------------------------------------------
 # graph/condensation.py — from-scratch Tarjan + longest-path DP parity
 
 
