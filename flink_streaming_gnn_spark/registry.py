@@ -128,6 +128,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.streaming.cep",
     "flink_streaming_gnn_spark.llm.nb",
     "flink_streaming_gnn_spark.graph.condensation",
+    "flink_streaming_gnn_spark.llm.knnclf",
 )
 
 
@@ -261,7 +262,7 @@ _PRIORITY_KEYS_R5 = (
     "text_winnowing_fingerprint",
     "fn_url_parse",
     # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
-    # 11 — in this registration order — carry to the r6 window)
+    # 12 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -277,6 +278,7 @@ _PRIORITY_KEYS_R5 = (
     "graph_condensation_dag",
     "stream_outer_join_e2e",
     "tokenizer_bpe_encode",
+    "ml_knn_classify",
 )
 
 

@@ -441,6 +441,51 @@ def test_bpe_encode_matches_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# llm/knnclf.py — numpy brute-force kNN classifier parity
+
+
+def test_knn_classify_matches_numpy(spark):
+    from flink_streaming_gnn_spark.llm.knnclf import (
+        K_NEIGHBORS,
+        PROBE_REM,
+        SPLIT_MOD,
+        ml_knn_classify,
+    )
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    feats = np.array([np.asarray(x, dtype=np.float64) for x in emb["embedding"]])
+    feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    is_probe = (emb["vec_id"] % SPLIT_MOD == PROBE_REM).values
+    p_idx = np.where(is_probe)[0]
+    r_idx = np.where(~is_probe)[0]
+    sims = feats[p_idx] @ feats[r_idx].T
+    want = {}
+    for row, pi in enumerate(p_idx):
+        order = np.lexsort((emb["vec_id"].values[r_idx], -sims[row]))[:K_NEIGHBORS]
+        nbr_labels = emb["label"].values[r_idx][order]
+        from collections import Counter
+
+        cnt = Counter(int(x) for x in nbr_labels)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[int(emb["vec_id"].values[pi])] = (
+            best[0],
+            best[1],
+            best[0] == int(emb["label"].values[pi]),
+        )
+    got = {
+        r["vec_id"]: (r["pred_label"], r["n_votes"], r["is_correct"])
+        for r in ml_knn_classify(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # graph/condensation.py — from-scratch Tarjan + longest-path DP parity
 
 
