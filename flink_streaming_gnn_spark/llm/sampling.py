@@ -92,7 +92,8 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", hashes.alias("hs"))
         .select("doc_id", F.explode(fps).alias("fp"))
-        .orderBy("doc_id", "fp")
+        # no orderBy: keeps the plan exchange-free (map-only); the driver
+        # compare is order-insensitive
     )
 
 

@@ -350,10 +350,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"WindowGroupLimit"],
         [r"Join", r"EvalPython"],
     ),
-    # winnowing: explode + bounded window + distinct agg, all JVM
+    # winnowing (round-4 rewrite): the whole scheme runs inside array
+    # higher-order functions — the plan is ONE map-only scan + explode,
+    # with NO exchange anywhere (the old explode-then-window shape
+    # shuffled + sorted every k-gram hash; 306 s → 76 s at ×10)
     "text_winnowing_fingerprint": (
-        [r"Generate", r"Window", r"HashAggregate"],
-        [r"Join", r"EvalPython"],
+        [r"Generate"],
+        [r"Exchange", r"Window", r"Join", r"EvalPython", r"InPandas"],
     ),
     # url parse: map-only; the scan must prune documents.text (the fat
     # column) — only the four metadata columns may be read
@@ -411,6 +414,23 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "ts_decompose_ma": (
         [r"HashAggregate", r"partial_count", r"Window"],
         [r"Join", r"EvalPython", r"InPandas"],
+    ),
+    # BPE encode: explode + literal replace chain + one doc agg, no Python
+    "tokenizer_bpe_encode": (
+        [r"Generate", r"HashAggregate"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # kNN classify: the Arrow partial-top-K scorer + ranking/vote windows;
+    # candidate generation must never be a relational cartesian
+    "ml_knn_classify": (
+        [r"MapInPandas", r"Window", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # condensation: label joins stay equi joins; the returned plan carries
+    # no Python and no cartesian
+    "graph_condensation_dag": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython", r"InPandas"],
     ),
 }
 
