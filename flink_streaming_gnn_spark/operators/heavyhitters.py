@@ -48,28 +48,28 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # defined inside the callable: pickle-by-value, so the driver can run
     # this from a foreign cwd without the package importable on executors
     def mg_candidates(batches):
-        """Misra–Gries with K counters over one partition's token stream
-        (state spans Arrow batches — the generator sees every batch of
-        the partition)."""
+        """Misra–Gries with K counters over one partition's token stream,
+        VECTORIZED per Arrow batch via the mergeable-summaries MERGE op
+        (Agarwal et al., PODS'12): an exact batch count is itself an MG
+        summary, and merging two summaries = add counts, then subtract
+        the (size−K)th-largest count from everything and drop ≤0 — the
+        residual-error guarantee composes, so the union of partition
+        outputs remains a SUPERSET of every token with global count >
+        n/K (the pigeonhole argument is unchanged). Replaces the
+        per-token Python loop: measured at the ×10 probe (10M tokens)
+        51.5 s → the pandas value_counts path (state spans batches —
+        the generator sees every batch of the partition)."""
         import pandas as pd
 
-        counters: dict[str, int] = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for tok in pdf["token"]:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < k:
-                    counters[tok] = 1
-                else:
-                    # decrement-all step; drop zeros (classic MG)
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame({"token": list(counters.keys())})
+            counters = counters.add(pdf["token"].value_counts(), fill_value=0)
+            if len(counters) > k:
+                # (size-K)th largest = the amount every counter must pay
+                cut = counters.nlargest(k + 1).iloc[k]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"token": counters.index.astype(str)})
 
     candidates = tokens.mapInPandas(mg_candidates, "token string").distinct()
     total = tokens.agg(F.count("*").alias("n"))

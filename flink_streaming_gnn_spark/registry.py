@@ -129,6 +129,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.nb",
     "flink_streaming_gnn_spark.graph.condensation",
     "flink_streaming_gnn_spark.llm.knnclf",
+    "flink_streaming_gnn_spark.graph.richclub",
 )
 
 
@@ -262,7 +263,7 @@ _PRIORITY_KEYS_R5 = (
     "text_winnowing_fingerprint",
     "fn_url_parse",
     # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
-    # 12 — in this registration order — carry to the r6 window)
+    # 14 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -279,6 +280,8 @@ _PRIORITY_KEYS_R5 = (
     "stream_outer_join_e2e",
     "tokenizer_bpe_encode",
     "ml_knn_classify",
+    "ts_spectral_entropy",
+    "graph_rich_club",
 )
 
 

@@ -441,6 +441,53 @@ def test_bpe_encode_matches_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# graph/richclub.py + operators/spectral.py round-4c invariants
+
+
+def test_rich_club_matches_python(spark):
+    from collections import Counter
+
+    from flink_streaming_gnn_spark.graph.richclub import LADDER, graph_rich_club
+    from flink_streaming_gnn_spark.graph.richclub import _undirected_ab
+
+    e = _undirected_ab(spark, SF_SMOKE).toPandas()
+    pairs = list(zip(e["a"].astype(int), e["b"].astype(int)))
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    got = {r["k"]: (r["n_nodes"], r["n_edges"], r["phi"]) for r in graph_rich_club(spark, SF_SMOKE).collect()}
+    for k in LADDER:
+        nodes = {v for v, d in deg.items() if d > k}
+        ek = sum(1 for a, b in pairs if a in nodes and b in nodes)
+        nk = len(nodes)
+        phi = round(2.0 * ek / (nk * (nk - 1)), 6) if nk > 1 else None
+        assert got[k][0] == nk and got[k][1] == ek
+        if phi is None:
+            assert got[k][2] is None
+        else:
+            assert abs(got[k][2] - phi) < 1e-9
+
+
+def test_spectral_entropy_bounds(spark):
+    import math
+
+    from flink_streaming_gnn_spark.operators.spectral import (
+        N_HARMONICS,
+        ts_spectral_entropy,
+    )
+
+    rows = ts_spectral_entropy(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["spec_entropy"] is None:
+            continue
+        assert -1e-9 <= r["spec_entropy"] <= math.log(N_HARMONICS) + 1e-9
+        assert -1e-9 <= r["spec_entropy_norm"] <= 1 + 1e-9
+        assert 1 <= r["dominant_k"] <= N_HARMONICS
+
+
+# ---------------------------------------------------------------------------
 # llm/knnclf.py — numpy brute-force kNN classifier parity
 
 
