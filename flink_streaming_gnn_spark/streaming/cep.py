@@ -48,46 +48,81 @@ def funnel_state_machine(stream_df: DataFrame, window_us: int) -> DataFrame:
     stage_view, stage_click, stage_buy = STAGES
 
     def update(key, pdf_iter, state: GroupState):
+        """VECTORIZED batch advance (the ×10 probe measured the naive
+        per-event Python loop at 162 s over 10M events — the NFA itself
+        was the cost): because replay is event-time ordered and every
+        match condition is a strict inequality, the greedy chain steps
+        within one micro-batch reduce to ``searchsorted`` lookups against
+        the batch's click/buy time arrays — a view's earliest later click
+        is the batch's first click time > t1 (earlier batches had none,
+        or the view would have matched already), and likewise for buys.
+        Window expiry is applied at batch end against the batch max time
+        (within-batch window checks live in the match conditions), which
+        both prunes state and finalizes dead instances exactly as the
+        per-event form did."""
+        import numpy as np
         import pandas as pd
 
         if state.exists:
             md, nf, seen, p1, p2a, p2b = state.get
-            p1, p2a, p2b = list(p1), list(p2a), list(p2b)
+            p1 = np.asarray(p1, dtype=np.int64)
+            p2a = np.asarray(p2a, dtype=np.int64)
+            p2b = np.asarray(p2b, dtype=np.int64)
         else:
-            md, nf, seen, p1, p2a, p2b = 0, 0, 0, [], [], []
-        rows = pd.concat(list(pdf_iter)).sort_values("ts")
-        us_arr = rows["ts"].astype("datetime64[us]").astype("int64")
-        for us, etype in zip(us_arr, rows["event_type"]):
-            us = int(us)
-            # prune window-expired open instances (monotone t ⇒ final)
-            p1 = [t1 for t1 in p1 if t1 + window_us >= us]
-            keep = [i for i, t1 in enumerate(p2a) if t1 + window_us >= us]
-            p2a = [p2a[i] for i in keep]
-            p2b = [p2b[i] for i in keep]
-            if etype == stage_view:
-                p1.append(us)
-                md = max(md, 1)
-            elif etype == stage_click:
-                matched = [t1 for t1 in p1 if t1 < us <= t1 + window_us]
-                if matched:
-                    p1 = [t1 for t1 in p1 if not (t1 < us <= t1 + window_us)]
-                    p2a.extend(matched)
-                    p2b.extend([us] * len(matched))
-                    md = max(md, 2)
-            elif etype == stage_buy:
-                done = [
-                    i
-                    for i, (t1, t2) in enumerate(zip(p2a, p2b))
-                    if t2 < us <= t1 + window_us
-                ]
-                if done:
-                    nf += len(done)
-                    md = 3
-                    alive = [i for i in range(len(p2a)) if i not in set(done)]
-                    p2a = [p2a[i] for i in alive]
-                    p2b = [p2b[i] for i in alive]
-            seen += 1
-        state.update((md, nf, seen, p1, p2a, p2b))
+            md, nf, seen = 0, 0, 0
+            p1 = np.empty(0, dtype=np.int64)
+            p2a = np.empty(0, dtype=np.int64)
+            p2b = np.empty(0, dtype=np.int64)
+        rows = pd.concat(list(pdf_iter))
+        us_all = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = rows["event_type"].to_numpy()
+        order = np.argsort(us_all, kind="stable")
+        us_all = us_all[order]
+        et = et[order]
+        V = us_all[et == stage_view]
+        C = us_all[et == stage_click]  # sorted (slices of a sorted array)
+        B = us_all[et == stage_buy]
+        seen += len(us_all)
+        if len(V):
+            md = max(md, 1)
+        # step 1: views (carried + new) meet the batch's clicks
+        views = np.concatenate([p1, V])
+        if len(C):
+            idx = np.searchsorted(C, views, side="right")  # first click > t1
+            has = idx < len(C)
+            t2c = np.where(has, C[np.minimum(idx, len(C) - 1)], 0)
+            chains = has & (t2c <= views + window_us)
+            dead = has & ~chains  # earliest later click out of window
+            p1 = views[~has]  # no later click yet: stays open
+            new_a, new_b = views[chains], t2c[chains]
+            if len(new_a):
+                md = max(md, 2)
+            p2a = np.concatenate([p2a, new_a])
+            p2b = np.concatenate([p2b, new_b])
+            del dead  # depth-1 finals; md already ≥ 1
+        else:
+            p1 = views
+        # step 2: chains (carried + new) meet the batch's buys
+        if len(B) and len(p2a):
+            idx = np.searchsorted(B, p2b, side="right")  # first buy > t2
+            has = idx < len(B)
+            t3c = np.where(has, B[np.minimum(idx, len(B) - 1)], 0)
+            done = has & (t3c <= p2a + window_us)
+            dead = has & ~done  # earliest later buy out of window: depth 2
+            if done.any():
+                nf += int(done.sum())
+                md = 3
+            keep = ~has
+            p2a, p2b = p2a[keep], p2b[keep]
+        # end-of-batch window expiry (cross-batch pruning; monotone time)
+        if len(us_all):
+            horizon = int(us_all[-1])
+            p1 = p1[p1 + window_us >= horizon]
+            keep = p2a + window_us >= horizon
+            p2a, p2b = p2a[keep], p2b[keep]
+        state.update(
+            (md, nf, seen, [int(x) for x in p1], [int(x) for x in p2a], [int(x) for x in p2b])
+        )
         if md == 0:  # no view yet: the batch output has no row for this key
             yield pd.DataFrame(
                 {"user_id": [], "max_depth": [], "n_full": [], "n_proc": []}
