@@ -130,6 +130,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.condensation",
     "flink_streaming_gnn_spark.llm.knnclf",
     "flink_streaming_gnn_spark.graph.richclub",
+    "flink_streaming_gnn_spark.llm.binquant",
 )
 
 
@@ -263,7 +264,7 @@ _PRIORITY_KEYS_R5 = (
     "text_winnowing_fingerprint",
     "fn_url_parse",
     # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
-    # 14 — in this registration order — carry to the r6 window)
+    # 17 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -282,6 +283,9 @@ _PRIORITY_KEYS_R5 = (
     "ml_knn_classify",
     "ts_spectral_entropy",
     "graph_rich_club",
+    "simsearch_binary_hamming",
+    "fn_url_canonicalize",
+    "fn_hash_digests",
 )
 
 

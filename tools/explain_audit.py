@@ -432,6 +432,25 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython", r"InPandas"],
     ),
+    # binary-quantized search: the probe side is a deliberate bounded
+    # broadcast (N_PROBES rows); packing + hamming stay JVM expressions
+    "simsearch_binary_hamming": (
+        [r"Window"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
+    # canonicalization + digests: map-only, no exchange, no join
+    "fn_url_canonicalize": ([], [r"Exchange", r"Join", r"EvalPython", r"InPandas"]),
+    "fn_hash_digests": ([], [r"Exchange", r"Join", r"EvalPython", r"InPandas"]),
+    # spectral entropy: same single-exchange agg shape as the periodogram
+    "ts_spectral_entropy": (
+        [r"HashAggregate", r"partial_"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
+    # rich club: one degree agg + one edge pass with the ladder as columns
+    "graph_rich_club": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
