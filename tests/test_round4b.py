@@ -494,8 +494,7 @@ def test_spectral_entropy_bounds(spark):
 def test_knn_classify_matches_numpy(spark):
     from flink_streaming_gnn_spark.llm.knnclf import (
         K_NEIGHBORS,
-        PROBE_REM,
-        SPLIT_MOD,
+        N_PROBES,
         ml_knn_classify,
     )
 
@@ -508,7 +507,7 @@ def test_knn_classify_matches_numpy(spark):
     )
     feats = np.array([np.asarray(x, dtype=np.float64) for x in emb["embedding"]])
     feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
-    is_probe = (emb["vec_id"] % SPLIT_MOD == PROBE_REM).values
+    is_probe = (emb["vec_id"] < N_PROBES).values
     p_idx = np.where(is_probe)[0]
     r_idx = np.where(~is_probe)[0]
     sims = feats[p_idx] @ feats[r_idx].T
