@@ -441,6 +441,60 @@ def test_bpe_encode_matches_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# llm/binquant.py — numpy pack + hamming parity
+
+
+def test_binary_hamming_matches_numpy(spark):
+    from flink_streaming_gnn_spark.llm.binquant import (
+        DIM,
+        N_PROBES,
+        TOP_K,
+        simsearch_binary_hamming,
+    )
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    feats = np.array([np.asarray(x, dtype=np.float64) for x in emb["embedding"]])
+    bits = (feats > 0).astype(np.int64)  # strict: zeros/negatives → 0
+    ids = emb["vec_id"].values
+    got = {}
+    for r in simsearch_binary_hamming(spark, SF_SMOKE).collect():
+        got.setdefault(r["probe_id"], []).append((r["rank"], r["cand_id"], r["hamming"]))
+    for pi in np.where(ids < N_PROBES)[0]:
+        ham = np.abs(bits - bits[pi]).sum(axis=1)
+        mask = ids != ids[pi]
+        order = np.lexsort((ids[mask], ham[mask]))[:TOP_K]
+        want = [
+            (rk + 1, int(ids[mask][j]), int(ham[mask][j]))
+            for rk, j in enumerate(order)
+        ]
+        assert sorted(got[ids[pi]]) == want
+
+
+def test_url_canonicalize_matches_urllib(spark):
+    from urllib.parse import parse_qsl, urlparse
+
+    from flink_streaming_gnn_spark.functions.urlfns import fn_url_canonicalize
+
+    rows = fn_url_canonicalize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows[:50]:
+        u = urlparse(r["url"])
+        host = u.hostname  # urllib lowercases and strips the port
+        params = [
+            f"{k}={v}" for k, v in parse_qsl(u.query) if not k.startswith("utm_")
+        ]
+        want = f"https://{host}{u.path.rstrip('/')}?" + "&".join(sorted(params))
+        assert r["canonical"] == want, (r["url"], r["canonical"], want)
+        assert r["host"] == host
+
+
+# ---------------------------------------------------------------------------
 # graph/richclub.py + operators/spectral.py round-4c invariants
 
 
