@@ -14,7 +14,7 @@ on a blocking key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.functions.arrays import dot_expr
@@ -409,6 +409,43 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def dedup_priority_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup — the multi-dataset curation rule: when
+    a near-dup cluster spans sources, keep the doc from the MOST TRUSTED
+    source (curated > crawled; here source priority = the numeric suffix
+    of ``source``, lower = preferred), with doc_id as the final tiebreak.
+    Same clusters as ``dedup_cluster_canonical`` (exact-hash collapse →
+    LSH candidates → exact-Jaccard verify → CC), but the survivor
+    election is an argmin over (source_rank, doc_id) ACROSS THE FULL
+    expanded membership — an exact clone may carry a better source than
+    its hash representative, so the election runs after expansion, as one
+    ranking window on the corpus-sized mapping (one cluster_id exchange).
+
+    Output: (doc_id, cluster_id, survivor_id, is_survivor)."""
+    mapping = dedup_cluster_canonical(spark, sf_dir).select(
+        "doc_id", F.col("canonical_id").alias("cluster_id")
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("source", 4, 10).cast("long").alias("srank")
+    )
+    ranked = mapping.join(maybe_broadcast(src), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy("srank", "doc_id")
+    surv = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"))
+    )
+    return (
+        mapping.join(maybe_broadcast(surv), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+        )
+    )
+
+
 SPAN_N = 16  # repeated-span window (tokens)
 
 
@@ -460,6 +497,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_canonical": dedup_cluster_canonical,
+    "dedup_priority_survivor": dedup_priority_survivor,
 }
 
 _DUCK_COS = (
@@ -599,6 +637,48 @@ ORACLE = {
                CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id,
                (coalesce(c.canonical, d.doc_id) = d.doc_id) AS is_survivor
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    "dedup_priority_survivor": """
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2])) AS s
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        pe AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        ),
+        reach(node, lbl) AS (
+            SELECT DISTINCT u, u FROM pe
+            UNION
+            SELECT pe.v, reach.lbl FROM reach JOIN pe ON pe.u = reach.node
+        ),
+        comp AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node),
+        full_map AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS cluster_id,
+                   CAST(substr(d.source, 4, 10) AS BIGINT) AS srank
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ),
+        surv AS (
+            SELECT cluster_id, doc_id AS survivor_id
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY cluster_id ORDER BY srank, doc_id
+                       ) AS rn
+                FROM full_map
+            ) WHERE rn = 1
+        )
+        SELECT m.doc_id, m.cluster_id, s.survivor_id,
+               m.doc_id = s.survivor_id AS is_survivor
+        FROM full_map m JOIN surv s ON s.cluster_id = m.cluster_id
     """,
     # dedup_simhash, dedup_minhash: rows-only (engine-specific hashes /
     # randomized LSH family; invariants pinned in tests/test_llm.py)

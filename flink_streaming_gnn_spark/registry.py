@@ -211,10 +211,11 @@ _PRIORITY_KEYS = (
 )
 
 # Round-5 window, pinned now (VERDICT r3 "Next round" #5): the 34 keys that
-# remain never-attested once the round-4 window above lands. Round 5 swaps
-# this tuple into _PRIORITY_KEYS (plus any keys added in round 4, which fit
-# in the same 50-key window: 34 + up-to-16 new). Keys listed in current
-# registration order.
+# remain never-attested once the round-4 window above lands, followed by
+# every key round 4 added, in registration order. Round 5 swaps this tuple
+# into _PRIORITY_KEYS; the driver records the FIRST 50, so the tail past
+# position 50 rolls into the
+# round-6 window the same way (18 keys at the round-4 close: 68 total).
 _PRIORITY_KEYS_R5 = (
     "multimodal_audio_chunk",
     "multimodal_binary_meta",
@@ -264,7 +265,7 @@ _PRIORITY_KEYS_R5 = (
     "text_winnowing_fingerprint",
     "fn_url_parse",
     # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
-    # 17 — in this registration order — carry to the r6 window)
+    # 18 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -286,6 +287,7 @@ _PRIORITY_KEYS_R5 = (
     "simsearch_binary_hamming",
     "fn_url_canonicalize",
     "fn_hash_digests",
+    "dedup_priority_survivor",
 )
 
 

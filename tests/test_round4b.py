@@ -441,6 +441,39 @@ def test_bpe_encode_matches_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# llm/dedup.py — priority survivor consistency with the canonical clusters
+
+
+def test_priority_survivor_consistent(spark):
+    from flink_streaming_gnn_spark.llm.dedup import (
+        dedup_cluster_canonical,
+        dedup_priority_survivor,
+    )
+
+    canon = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_cluster_canonical(spark, SF_SMOKE).collect()
+    }
+    src = {
+        r["doc_id"]: int(r["source"][3:])
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    got = dedup_priority_survivor(spark, SF_SMOKE).collect()
+    assert {r["doc_id"] for r in got} == set(canon)
+    for r in got:
+        assert r["cluster_id"] == canon[r["doc_id"]]  # same clusters
+    by_cluster: dict[int, list[int]] = {}
+    for d, c in canon.items():
+        by_cluster.setdefault(c, []).append(d)
+    surv = {r["cluster_id"]: r["survivor_id"] for r in got}
+    for c, members in by_cluster.items():
+        want = min(members, key=lambda d: (src[d], d))
+        assert surv[c] == want
+
+
+# ---------------------------------------------------------------------------
 # llm/binquant.py — numpy pack + hamming parity
 
 
