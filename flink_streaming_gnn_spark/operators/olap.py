@@ -78,6 +78,30 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the standard
+    reporting comparison: revenue per order month, with MoM delta/percent
+    via lag(1) and YoY percent via lag(12) over the month series. One
+    distributed month aggregation; the lag windows run over the
+    |months|-sized series (bounded by the calendar, not the data — the
+    abc_pareto single-reducer discipline). Percentages rounded to 4 dp;
+     6-year fixture range ⇒ both lags populated for most rows."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 1).over(w)
+    yoy = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("mom_pct"),
+        F.round((F.col("revenue") - yoy) / yoy * 100, 4).alias("yoy_pct"),
+    ).orderBy("month")
+
+
 def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewness/kurtosis per event type from raw power sums — the
     one-pass mergeable-moment formulation (s₁..s₄ partial-aggregate and
@@ -156,9 +180,26 @@ QUERIES = {
     "agg_histogram": agg_histogram,
     "agg_cube": agg_cube,
     "agg_higher_moments": agg_higher_moments,
+    "olap_period_over_period": olap_period_over_period,
 }
 
 ORACLE = {
+    "olap_period_over_period": """
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               round(revenue - lag(revenue, 1) OVER w, 2) AS mom_delta,
+               round((revenue - lag(revenue, 1) OVER w)
+                     / lag(revenue, 1) OVER w * 100, 4) AS mom_pct,
+               round((revenue - lag(revenue, 12) OVER w)
+                     / lag(revenue, 12) OVER w * 100, 4) AS yoy_pct
+        FROM monthly
+        WINDOW w AS (ORDER BY month)
+        ORDER BY month
+    """,
     "agg_higher_moments": _MOMENTS_SQL,
     "agg_cube": """
         SELECT o_orderstatus, o_orderpriority,
