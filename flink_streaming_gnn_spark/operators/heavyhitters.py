@@ -56,9 +56,9 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         residual-error guarantee composes, so the union of partition
         outputs remains a SUPERSET of every token with global count >
         n/K (the pigeonhole argument is unchanged). Replaces the
-        per-token Python loop: measured at the ×10 probe (10M tokens)
-        51.5 s → the pandas value_counts path (state spans batches —
-        the generator sees every batch of the partition)."""
+        per-token Python loop — measured at the ×10 probe (10M tokens):
+        51.5 s → 10.0 s. State spans Arrow batches (the generator sees
+        every batch of the partition)."""
         import pandas as pd
 
         counters = pd.Series(dtype="int64")

@@ -59,7 +59,9 @@ def funnel_state_machine(stream_df: DataFrame, window_us: int) -> DataFrame:
         Window expiry is applied at batch end against the batch max time
         (within-batch window checks live in the match conditions), which
         both prunes state and finalizes dead instances exactly as the
-        per-event form did."""
+        per-event form did. Measured at the same ×10 probe: 90.9 s — the
+        remainder is stream machinery + state serialization, both
+        window-bounded."""
         import numpy as np
         import pandas as pd
 
