@@ -441,6 +441,48 @@ def test_bpe_encode_matches_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# operators/inequality.py — numpy Gini + Zipf parity
+
+
+def test_gini_matches_numpy(spark):
+    from flink_streaming_gnn_spark.operators.inequality import agg_gini_coefficient
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    li["rev"] = li.l_extendedprice * (1 - li.l_discount)
+    rev = li.groupby("l_suppkey")["rev"].sum().sort_values().values
+    n = len(rev)
+    i = np.arange(1, n + 1, dtype=float)
+    want = 2.0 * (i * rev).sum() / (n * rev.sum()) - (n + 1.0) / n
+    row = agg_gini_coefficient(spark, SF_SMOKE).collect()[0]
+    assert row["n_suppliers"] == n
+    assert abs(row["gini"] - round(want, 6)) < 1e-6
+    assert 0 <= row["gini"] <= 1
+
+
+def test_zipf_fit_matches_numpy(spark):
+    from collections import Counter
+
+    from flink_streaming_gnn_spark.operators.inequality import text_zipf_fit
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").toPandas()
+    cnt = Counter(t for x in docs["text"] for t in x.split(" ") if t)
+    freqs = np.array(sorted(cnt.values(), reverse=True), dtype=float)
+    lr = np.log(np.arange(1, len(freqs) + 1, dtype=float))
+    lf = np.log(freqs)
+    slope = np.polyfit(lr, lf, 1)[0]
+    r2 = np.corrcoef(lr, lf)[0, 1] ** 2
+    row = text_zipf_fit(spark, SF_SMOKE).collect()[0]
+    assert row["vocab"] == len(freqs)
+    assert abs(row["zipf_slope"] - slope) < 1e-4
+    assert abs(row["zipf_r2"] - r2) < 1e-4
+    assert row["zipf_slope"] < 0  # frequency decreases with rank
+
+
+# ---------------------------------------------------------------------------
 # llm/dedup.py — priority survivor consistency with the canonical clusters
 
 
