@@ -72,12 +72,104 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+XCORR_MAX_LAG = 6  # hours each direction
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag discovery between two event streams: Pearson correlation
+    of the hourly view-count series against the hourly purchase-count
+    series at every lag in ±XCORR_MAX_LAG hours — "do purchases follow
+    views, and by how long?", the classic cross-correlation function.
+
+    Shape: ONE distributed hourly aggregation builds both series
+    (conditional counts in the same pass), then each lag is one
+    ``lag()`` column over the |hours|-sized series and the correlations
+    are 2·K+1 ``corr`` aggregates in ONE final pass — never a self-join
+    per lag. The series is calendar-bounded (abc_pareto discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("views"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("buys"),
+    )
+    def name(prefix: str, k: int) -> str:  # minus signs are not column-safe
+        return f"{prefix}m{-k}" if k < 0 else f"{prefix}{k}"
+
+    w = Window.orderBy("bucket")
+    lagged = hourly.select(
+        "views",
+        *[
+            F.lag("buys", k).over(w).alias(name("b", k))
+            for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+        ],
+    )
+    rows = lagged.agg(
+        *[
+            F.round(F.corr("views", name("b", k)), 6).alias(name("c", k))
+            for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag_hours"),
+                        F.col(name("c", k)).alias("xcorr"),
+                    )
+                    for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.lag_hours", "r.xcorr").orderBy("lag_hours")
+
+
+def _xcorr_oracle_sql() -> str:
+    def nm(prefix: str, k: int) -> str:
+        return f"{prefix}m{-k}" if k < 0 else f"{prefix}{k}"
+
+    lag_cols = ",\n               ".join(
+        f"lag(buys, {k}) OVER (ORDER BY bucket) AS {nm('b', k)}"
+        for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+    )
+    corr_cols = ",\n               ".join(
+        f"round(corr(views, {nm('b', k)}), 6) AS {nm('c', k)}"
+        for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+    )
+    selects = "\n            UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag_hours, {nm('c', k)} AS xcorr FROM cs"
+        for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS views,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS buys
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT views,
+               {lag_cols}
+            FROM hourly
+        ),
+        cs AS (
+            SELECT {corr_cols}
+            FROM lagged
+        )
+        {selects}
+        ORDER BY lag_hours
+    """
+
+
 QUERIES = {
     "agg_gini_coefficient": agg_gini_coefficient,
     "text_zipf_fit": text_zipf_fit,
+    "ts_cross_correlation": ts_cross_correlation,
 }
 
 ORACLE = {
+    "ts_cross_correlation": _xcorr_oracle_sql(),
     "agg_gini_coefficient": """
         WITH rev AS (
             SELECT l_suppkey,

@@ -216,7 +216,7 @@ _PRIORITY_KEYS = (
 # every key round 4 added, in registration order. Round 5 swaps this tuple
 # into _PRIORITY_KEYS; the driver records the FIRST 50, so the tail past
 # position 50 rolls into the
-# round-6 window the same way (21 keys at the round-4 close: 71 total).
+# round-6 window the same way (22 keys at the round-4 close: 72 total).
 _PRIORITY_KEYS_R5 = (
     "multimodal_audio_chunk",
     "multimodal_binary_meta",
@@ -266,7 +266,7 @@ _PRIORITY_KEYS_R5 = (
     "text_winnowing_fingerprint",
     "fn_url_parse",
     # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
-    # 21 — in this registration order — carry to the r6 window)
+    # 22 — in this registration order — carry to the r6 window)
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -292,6 +292,7 @@ _PRIORITY_KEYS_R5 = (
     "olap_period_over_period",
     "agg_gini_coefficient",
     "text_zipf_fit",
+    "ts_cross_correlation",
 )
 
 
