@@ -3,8 +3,10 @@ north-star "similarity search" applied to labeling — the
 nearest-neighbor classifier a curation pipeline uses to propagate
 labels from a seed set to an unlabeled corpus).
 
-Semantics: held-out vectors (``vec_id % 10 == 8`` — bounded probe set,
-the ``llm/simsearch.py`` discipline) are classified by majority label
+Semantics: held-out vectors (``vec_id < N_PROBES`` — a scale-INVARIANT
+bounded probe set, the ``llm/simsearch.py`` discipline; a modulo split
+would grow the probe set linearly with the corpus and was removed for
+exactly that reason) are classified by majority label
 of their K=5 nearest reference vectors (everything else) by cosine,
 with fully deterministic tie-breaks (neighbor cut: cos DESC, cand ASC;
 vote: count DESC, label ASC).

@@ -132,6 +132,9 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.richclub",
     "flink_streaming_gnn_spark.llm.binquant",
     "flink_streaming_gnn_spark.operators.inequality",
+    # --- round-5 additions ---
+    "flink_streaming_gnn_spark.graph.butterflies",
+    "flink_streaming_gnn_spark.llm.containment",
 )
 
 
@@ -146,7 +149,7 @@ _MODULES = (
 # oracle run (tools/judge_check_r3_results.json). After this window lands,
 # 34 keys remain — the full r5 window is pinned in _PRIORITY_KEYS_R5 below
 # so round 5 is mechanical.
-_PRIORITY_KEYS = (
+_PRIORITY_KEYS_R4 = (
     # round-3 flagships: graph algorithms + learned components
     "join_bloom_prefilter",
     "graph_eigenvector_centrality",
@@ -211,16 +214,17 @@ _PRIORITY_KEYS = (
     "emb_quantize_int8",
 )
 
-# Round-5 window, pinned now (VERDICT r3 "Next round" #5): the 34 keys that
-# remain never-attested once the round-4 window above lands, followed by
-# every key round 4 added, in registration order. Round 5 swaps this tuple
-# into _PRIORITY_KEYS; the driver records the FIRST 50, so the tail past
-# position 50 rolls into the
-# round-6 window the same way (22 keys at the round-4 close: 72 total).
+# Round-5 window (VERDICT r4 "Next round" #1): exactly the 72 keys never
+# attested across CORRECTNESS_r01..r04 (34 carried from the r4 plan + 38
+# round-4 additions = 72; verified against the artifacts by
+# tools/check_keys.py). The driver records the FIRST 50, so the tail past
+# position 50 (22 keys) rolls into the round-6 window the same way. The
+# three keys with no DuckDB oracle (multimodal_decode_stub,
+# agg_hll_sketch_rollup, agg_approx_quantile) are pinned at the very end
+# so no round-5 window slot is spent on a rows-only row.
 _PRIORITY_KEYS_R5 = (
     "multimodal_audio_chunk",
     "multimodal_binary_meta",
-    "multimodal_decode_stub",
     "multimodal_frame_sample",
     "sample_deterministic",
     "text_chunk",
@@ -235,14 +239,12 @@ _PRIORITY_KEYS_R5 = (
     "text_pii_redact",
     "text_repetition_stats",
     "text_span_corruption",
-    "agg_hll_sketch_rollup",
     "agg_linear_regression",
     "multimodal_asset_manifest",
     "corpus_stats_report",
     "agg_bitmap_distinct",
     "sink_bucketed_join",
     "join_cross_bounded",
-    "agg_approx_quantile",
     "agg_string_agg",
     "agg_boolean",
     "win_frame_range_interval",
@@ -252,7 +254,7 @@ _PRIORITY_KEYS_R5 = (
     "join_salted_skew",
     "fn_regexp_family",
     "fn_bitwise",
-    # round-4 additions (34 + 12 = 46 ≤ the 50-key window)
+    # round-4 additions
     "graph_reciprocity",
     "graph_bipartite_projection",
     "ts_rolling_median",
@@ -265,8 +267,7 @@ _PRIORITY_KEYS_R5 = (
     "sample_priority_hash",
     "text_winnowing_fingerprint",
     "fn_url_parse",
-    # round-4b additions (46 + 11 = 57: the first 50 land in r5, the last
-    # 22 — in this registration order — carry to the r6 window)
+    # round-4b additions
     "cep_window_funnel",
     "cep_pattern_vshape",
     "gnn_appnp_propagate",
@@ -293,7 +294,14 @@ _PRIORITY_KEYS_R5 = (
     "agg_gini_coefficient",
     "text_zipf_fit",
     "ts_cross_correlation",
+    # no-oracle (rows-only) keys last — round-6 remainder territory
+    "multimodal_decode_stub",
+    "agg_hll_sketch_rollup",
+    "agg_approx_quantile",
 )
+
+# Active attestation order for round 5.
+_PRIORITY_KEYS = _PRIORITY_KEYS_R5
 
 
 def _reorder(d: dict, priority: tuple[str, ...]) -> dict:
