@@ -25,8 +25,18 @@ distributed BPE training. Merge application is a zero-shuffle map.
 Determinism/parity: counts are exact integers; the pair tiebreak is an
 ASCII string compare; ``replace`` is leftmost non-overlapping in Spark,
 DuckDB, and Python alike (pinned against a from-scratch Python BPE in
-tests/test_round3.py). The DuckDB oracle unrolls the same rounds as
-MATERIALIZED CTEs.
+tests/test_round3.py). Each rule's replace is applied TWICE: a single
+non-overlapping pass misses every second member of a run of consecutive
+occurrences because adjacent matches share a delimiter space (``banana``
+with rule ``(a,n)`` → ``b an a n a`` after one pass), and a second pass
+is a fixpoint for space-delimited sequences — the survivors of pass one
+are separated by merged tokens, so their windows no longer overlap.
+This matches canonical (Sennrich/HF greedy-left) segmentation for all
+``left != right`` rules; for self-adjacent runs under a ``left == right``
+rule the replace-all discipline is the pinned spec (it can differ from
+greedy-left on e.g. six ``a``s under ``(a,a)``). The DuckDB oracle
+unrolls the same rounds as MATERIALIZED CTEs with the same double
+replace.
 """
 
 from __future__ import annotations
@@ -81,16 +91,17 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair, cnt = top[0]["pair"], top[0]["cnt"]
         merged = pair.replace(" ", "")
         rules.append((rank, *pair.split(" "), merged, cnt))
-        # boundary-safe literal merge on the padded sequence; zero shuffle
+        # boundary-safe literal merge on the padded sequence; zero
+        # shuffle. Applied twice: consecutive occurrences share a
+        # delimiter space, so one non-overlapping pass merges only every
+        # other one; the second pass is the fixpoint (module docstring).
+        merge_expr = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        for _ in range(2):
+            merge_expr = F.replace(
+                merge_expr, F.lit(f" {pair} "), F.lit(f" {merged} ")
+            )
         dict_df = dict_df.select(
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
-                    F.lit(f" {pair} "),
-                    F.lit(f" {merged} "),
-                )
-            ).alias("seq"),
-            "freq",
+            F.trim(merge_expr).alias("seq"), "freq"
         ).localCheckpoint()
     return spark.createDataFrame(
         rules,
@@ -126,7 +137,12 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" "), F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" ")
     )
     for left, right, merged in rules:
-        seq = F.replace(seq, F.lit(f" {left} {right} "), F.lit(f" {merged} "))
+        # double replace per rule — consecutive-occurrence fixpoint
+        # (module docstring); still O(MERGES) literal scans per word
+        for _ in range(2):
+            seq = F.replace(
+                seq, F.lit(f" {left} {right} "), F.lit(f" {merged} ")
+            )
     toks = words.select("doc_id", F.split(F.trim(seq), " ").alias("toks"))
     return (
         toks.groupBy("doc_id")
@@ -172,7 +188,10 @@ def _bpe_oracle_sql(merges: int = MERGES) -> str:
             FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
         ),
         w{r} AS MATERIALIZED (
-            SELECT trim(replace(' ' || seq || ' ',
+            SELECT trim(replace(replace(' ' || seq || ' ',
+                                ' ' || (SELECT pair FROM t{r}) || ' ',
+                                ' ' || (SELECT replace(pair, ' ', '') FROM t{r})
+                                    || ' '),
                                 ' ' || (SELECT pair FROM t{r}) || ' ',
                                 ' ' || (SELECT replace(pair, ' ', '') FROM t{r})
                                     || ' ')) AS seq,
@@ -201,10 +220,11 @@ def _bpe_encode_oracle_sql(merges: int = MERGES) -> str:
     # extract the WITH body up to the final SELECT (the blocks string)
     expr = "' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '"
     for r in range(1, merges + 1):
-        expr = (
-            f"replace({expr}, ' ' || (SELECT pair FROM t{r}) || ' ', "
-            f"' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' ')"
-        )
+        for _ in range(2):  # double replace per rule (module docstring)
+            expr = (
+                f"replace({expr}, ' ' || (SELECT pair FROM t{r}) || ' ', "
+                f"' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' ')"
+            )
     blocks = train_body.split("WITH", 1)[1].rsplit("SELECT merge_rank", 1)[0]
     blocks = blocks.rstrip().rstrip(",")  # the training SELECT is replaced
     return f"""

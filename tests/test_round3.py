@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from flink_streaming_gnn_spark.functions.variantfns import fn_variant_json
 from flink_streaming_gnn_spark.graph.betweenness import (
     MAX_D,
+    N_LANDMARKS,
     SEED_MOD,
     _undirected,
     graph_betweenness_landmark,
@@ -38,8 +39,10 @@ from tests.conftest import SF_ORACLE, SF_SMOKE
 
 def _python_bpe(word_freq: dict[str, int], merges: int):
     """From-scratch BPE trainer: same corpus representation (space-joined
-    chars), same argmax tiebreak (count desc, pair asc), same leftmost
-    non-overlapping merge via str.replace."""
+    chars), same argmax tiebreak (count desc, pair asc), same DOUBLE
+    leftmost non-overlapping merge via str.replace (consecutive
+    occurrences share a delimiter space; the second pass is the
+    fixpoint — see llm/bpe.py module docstring)."""
     seqs = {" ".join(word): f for word, f in word_freq.items()}
     rules = []
     for rank in range(1, merges + 1):
@@ -55,7 +58,12 @@ def _python_bpe(word_freq: dict[str, int], merges: int):
         rules.append((rank, *pair.split(" "), merged, counts[pair]))
         new_seqs: dict[str, int] = defaultdict(int)
         for seq, f in seqs.items():
-            ns = (" " + seq + " ").replace(f" {pair} ", f" {merged} ").strip()
+            ns = (
+                (" " + seq + " ")
+                .replace(f" {pair} ", f" {merged} ")
+                .replace(f" {pair} ", f" {merged} ")
+                .strip()
+            )
             new_seqs[ns] += f
         seqs = dict(new_seqs)
     return rules
@@ -120,7 +128,7 @@ def test_betweenness_vs_python_brandes(spark):
         adj[a].add(b)
         verts.add(a)
         verts.add(b)
-    seeds = sorted(v for v in verts if v % SEED_MOD == 0)
+    seeds = sorted(v for v in verts if v % SEED_MOD == 0)[:N_LANDMARKS]
     assert seeds, "fixture must contain landmark seeds at this sf"
     bc, reached = _python_brandes(adj, seeds, MAX_D)
     got = {int(r.v): r.bc for r in graph_betweenness_landmark(spark, SF_ORACLE).collect()}

@@ -419,7 +419,8 @@ def test_bpe_encode_matches_python(spark):
     def encode_word(word: str) -> list[str]:
         seq = " " + " ".join(word) + " "
         for left, right, merged in rules:
-            seq = seq.replace(f" {left} {right} ", f" {merged} ")
+            for _ in range(2):  # double replace (llm/bpe.py docstring)
+                seq = seq.replace(f" {left} {right} ", f" {merged} ")
         return seq.split()
 
     want = {}
