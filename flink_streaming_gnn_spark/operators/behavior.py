@@ -11,13 +11,26 @@ op here rides) + one (prev, next) aggregate whose output is bounded by
 classic input to next-event prediction and bot detection.
 
 ``user_rfm_segments``: Recency / Frequency / Monetary quartile scoring.
-Per-user aggregate (one shuffle on user_id), then three ``ntile(4)``
-rankings with full deterministic tie-breaks. The ntile windows are
-unpartitioned — a deliberate, documented single-reducer: the input is
-already one row per user (≪ events), and exact quantile assignment is
-the point of the oracle check. At 100 TB you'd swap exact ntile for
-approx-quantile cutoffs broadcast back (same discipline as
-``abc_pareto_class``'s documented single-reducer cumsum).
+Per-user aggregate (one shuffle on user_id), then three EXACT ntile(4)
+rankings computed WITHOUT a single-reducer global sort (VERDICT r4 weak
+#1 — |users| grows with the corpus, so an unpartitioned window is a
+scale-killer). The distributed-exact-rank discipline, per dimension:
+
+1. approx-quantile the sort key once (driver read, ≤ n_part boundary
+   literals — the ``abc_pareto_class`` cutoff-broadcast discipline);
+2. assign each row a range-bucket id from those LITERAL boundaries
+   (deterministic column expression — consistent across jobs by
+   construction, no repartitionByRange re-sampling hazard);
+3. ``row_number`` windows partitioned BY BUCKET (parallel local sorts,
+   ordered by the original column + user_id tie-break);
+4. per-bucket counts to the driver (≤ n_part rows, geometry-bounded),
+   cumulative offsets re-broadcast as a literal map;
+5. global rank = offset + local rank, tile from rank via the exact
+   ntile size formula (first N%n tiles get ceil(N/n) rows).
+
+Boundary quality only affects partition BALANCE, never correctness —
+ranks are exact for any monotone bucketing. The oracle stays the plain
+``ntile(4)`` SQL and must hash-match.
 """
 
 from __future__ import annotations
@@ -51,27 +64,77 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_ntile_desc(df: DataFrame, order_col: str, score_name: str) -> DataFrame:
+    """Exact ``ntile(N_TILES) OVER (ORDER BY order_col DESC, user_id)``
+    without a single-reducer sort (module docstring, steps 1–5). The
+    bucket id is computed from approx-quantile boundaries captured as
+    literals, so the counts job and the rank job agree by construction;
+    the in-bucket window orders by the ORIGINAL column (the double cast
+    is used only for monotone bucketing, so timestamp precision cannot
+    perturb the tie-break)."""
+    spark = df.sparkSession
+    n_part = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    dtype = dict(df.dtypes)[order_col]
+    key = (
+        F.unix_micros(F.col(order_col).cast("timestamp")).cast("double")
+        if dtype.startswith("timestamp")
+        else F.col(order_col).cast("double")
+    )
+    keyed = df.withColumn("_key", key)
+    probs = [i / n_part for i in range(1, n_part)]
+    bounds = sorted(set(keyed.stat.approxQuantile("_key", probs, 0.01)))
+    # descending rank order: bucket 0 holds the largest keys; equal keys
+    # always share a bucket, so the user_id tie-break stays in-bucket
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col("_key") < F.lit(b), 1).otherwise(0)
+    w = Window.partitionBy("_pid").orderBy(F.col(order_col).desc(), "user_id")
+    ranked = (
+        keyed.withColumn("_pid", pid)
+        .withColumn("_lrank", F.row_number().over(w).cast("long"))
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    total, acc, offsets = sum(counts.values()), 0, {}
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_map = F.create_map(
+        *[F.lit(x) for p in sorted(offsets) for x in (p, offsets[p])]
+    )
+    rank = (off_map[F.col("_pid")] + F.col("_lrank")).cast("long")
+    q, rem = divmod(total, N_TILES)
+    if q == 0:  # fewer rows than tiles: ntile assigns rank itself
+        tile = rank
+    else:
+        boundary = rem * (q + 1)
+        tile = F.when(
+            rank <= boundary, F.floor((rank + q) / (q + 1))
+        ).otherwise(rem + F.floor((rank - boundary + q - 1) / q))
+    return ranked.withColumn(score_name, tile.cast("long")).drop(
+        "_key", "_pid", "_lrank"
+    )
+
+
 def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user RFM quartiles: recency (latest event first), frequency,
-    monetary — each ntile(4) with user_id tie-break; segment = 'rfm'."""
+    monetary — each an exact distributed ntile(4) with user_id tie-break
+    (no global sort; module docstring); segment = 'rfm'."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count("*").cast("long").alias("frequency"),
         F.round(F.sum("value"), 2).alias("monetary"),
-    )
-    r = F.ntile(N_TILES).over(Window.orderBy(F.col("last_ts").desc(), "user_id"))
-    f = F.ntile(N_TILES).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-    m = F.ntile(N_TILES).over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+    ).localCheckpoint()  # one events pass shared by the three rankings
+    scored = _exact_ntile_desc(per_user, "last_ts", "r_score")
+    scored = _exact_ntile_desc(scored, "frequency", "f_score")
+    scored = _exact_ntile_desc(scored, "monetary", "m_score")
     return (
-        per_user.select(
-            "user_id",
-            "last_ts",
-            "frequency",
-            "monetary",
-            r.cast("long").alias("r_score"),
-            f.cast("long").alias("f_score"),
-            m.cast("long").alias("m_score"),
+        scored.select(
+            "user_id", "last_ts", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
         )
         .withColumn(
             "segment",

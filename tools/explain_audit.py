@@ -335,7 +335,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"HashAggregate"],
         [r"Join", r"EvalPython"],
     ),
-    "user_rfm_segments": ([r"Window", r"HashAggregate"], [r"Join", r"EvalPython"]),
+    # distributed exact ntile (VERDICT r4 weak #1 fix): three bucket-local
+    # row_number windows, literal quantile boundaries + offset map — the
+    # plan must show NO unpartitioned window (Exchange SinglePartition)
+    # and no ntile; the only global sort is the presentation orderBy
+    # (rangepartitioning). The per-user HashAggregate sits behind the
+    # localCheckpoint, so it is not visible in the final plan.
+    "user_rfm_segments": (
+        [r"Window", r"row_number"],
+        [r"Join", r"EvalPython", r"Exchange SinglePartition", r"ntile"],
+    ),
     # z-order stats read back the clustered files: plain scan + one agg
     "sink_zorder_layout": ([r"HashAggregate"], [r"Join", r"EvalPython"]),
     # band join: the ε-bucket rewrite MUST be a broadcast equi-join on the
