@@ -267,6 +267,49 @@ def stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
+def stream_dedup_ttl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE twin of ``stream_dedup_e2e`` (VERDICT r4 "Next
+    round" #5): ``dropDuplicatesWithinWatermark`` under a 30-minute
+    watermark keeps dedup state only until the watermark passes a key's
+    event time + delay — the state store is bounded by the key-arrival
+    rate × TTL instead of growing with |distinct keys| forever. This is
+    the flavor a real 100 TB pipeline runs; the exact-state variant's
+    unbounded store is the fixture-only attestation form.
+
+    Determinism: TTL'd dedup EMITS each first-seen row immediately
+    (append mode; no withheld tail — unlike windowed aggregation, dedup
+    is row-emitting) and may RE-EMIT a key whose state aged out before a
+    later duplicate arrived; which keys re-emit depends on micro-batch
+    boundaries, so the replay-invariant view is the DISTINCT of the
+    drained sink. That distinct set equals batch DISTINCT exactly: the
+    time-ordered replay never drops rows as late, every key's first
+    instance is always emitted, and re-emissions collapse under the
+    sink distinct. The TTL semantics themselves (drop within the delay,
+    re-emit beyond it) are pinned empirically on synthetic fixtures in
+    tests/test_round5.py — the behavior an oracle cannot express because
+    re-emission is a function of batch boundaries, not of the data.
+    """
+    from flink_streaming_gnn_spark.streaming.replay import (
+        events_stream,
+        run_append_to_completion,
+    )
+
+    stream = (
+        events_stream(spark, sf_dir, files_per_trigger=2)
+        .withWatermark("ts", "30 minutes")
+        .select("ts", "user_id", "event_type")
+    )
+    out = run_append_to_completion(
+        stream.dropDuplicatesWithinWatermark(["user_id", "event_type"]),
+        "dedup_ttl_e2e",
+    )
+    return (
+        out.select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )
+
+
 WATERMARK_DELAY = "30 minutes"
 WATERMARK_DELAY_US = 30 * 60 * 1_000_000
 
@@ -323,6 +366,7 @@ QUERIES = {
     "stream_gnn_sage_e2e": stream_gnn_sage_e2e,
     "stream_decayed_memory_e2e": stream_decayed_memory_e2e,
     "stream_dedup_e2e": stream_dedup_e2e,
+    "stream_dedup_ttl_e2e": stream_dedup_ttl_e2e,
     "stream_tumbling_append_e2e": stream_tumbling_append_e2e,
 }
 
@@ -330,7 +374,12 @@ from flink_streaming_gnn_spark.streaming.gnn import _windowed_oracle_sql
 
 ORACLE = {
     # watermark-gated append: the emitted set is every window whose end the
-    # final watermark (max ts − delay) passed; values equal the batch agg
+    # final watermark (max ts − delay) passed; values equal the batch agg.
+    # The <= on window_end is the EMPIRICALLY PINNED boundary: a window
+    # whose end equals the final watermark IS emitted (Spark's append
+    # eviction predicate is end <= watermark;
+    # tests/test_round5.py::test_append_watermark_boundary_equality pins
+    # the equality case with max(ts) exactly 30 min past an hour edge)
     "stream_tumbling_append_e2e": f"""
         WITH wm AS (
             SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
@@ -350,6 +399,15 @@ ORACLE = {
     """,
     # streaming dedup final sink == batch DISTINCT over the key columns
     "stream_dedup_e2e": """
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
+    # TTL'd dedup: the sink's distinct key set == batch DISTINCT (first
+    # instances always emitted; re-emissions collapse; time-ordered
+    # replay never late-drops — operator docstring)
+    "stream_dedup_ttl_e2e": """
         SELECT CAST(user_id AS BIGINT) AS user_id, event_type
         FROM events
         GROUP BY user_id, event_type
