@@ -44,8 +44,32 @@ from flink_streaming_gnn_spark.operators.cep import STAGES, WINDOW_US
 
 
 def funnel_state_machine(stream_df: DataFrame, window_us: int) -> DataFrame:
-    """Per-user streaming funnel NFA over (user_id, ts, event_type)."""
+    """Per-user streaming funnel NFA.
+
+    ROW-THINNING AND CODEC PREP HAPPEN JVM-SIDE (round-5 state/serde
+    shave): events are filtered to the three funnel stages and projected
+    to (user_id, us: long, stage: int) BEFORE entering Python — the
+    non-funnel event types (the majority of the stream) never cross the
+    Arrow boundary, and the per-key pandas work starts from int64/int32
+    columns instead of re-decoding datetime64 and comparing strings per
+    key. ``n_proc`` therefore counts FUNNEL events processed (still
+    monotone per key, which is all its final-emission-selection role
+    needs); users with no funnel events never invoke the state fn and
+    never emit — the same key set as before, since only md ≥ 1 users
+    produce output rows anyway.
+    """
     stage_view, stage_click, stage_buy = STAGES
+    prepped = stream_df.filter(
+        F.col("event_type").isin([stage_view, stage_click, stage_buy])
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.when(F.col("event_type") == stage_view, F.lit(0))
+        .when(F.col("event_type") == stage_click, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("stage"),
+    )
 
     def update(key, pdf_iter, state: GroupState):
         """VECTORIZED batch advance (the ×10 probe measured the naive
@@ -59,9 +83,10 @@ def funnel_state_machine(stream_df: DataFrame, window_us: int) -> DataFrame:
         Window expiry is applied at batch end against the batch max time
         (within-batch window checks live in the match conditions), which
         both prunes state and finalizes dead instances exactly as the
-        per-event form did. Measured at the same ×10 probe: 90.9 s — the
-        remainder is stream machinery + state serialization, both
-        window-bounded."""
+        per-event form did. Round-5 serde shave on top: inputs arrive as
+        int64 µs + int stage codes (no per-key datetime/string decode),
+        state arrays round-trip via ``ndarray.tolist()``, and the two
+        output frame shapes are built once in the closure."""
         import numpy as np
         import pandas as pd
 
@@ -75,15 +100,16 @@ def funnel_state_machine(stream_df: DataFrame, window_us: int) -> DataFrame:
             p1 = np.empty(0, dtype=np.int64)
             p2a = np.empty(0, dtype=np.int64)
             p2b = np.empty(0, dtype=np.int64)
-        rows = pd.concat(list(pdf_iter))
-        us_all = rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        et = rows["event_type"].to_numpy()
+        chunks = list(pdf_iter)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        us_all = rows["us"].to_numpy(dtype=np.int64, copy=False)
+        st = rows["stage"].to_numpy()
         order = np.argsort(us_all, kind="stable")
         us_all = us_all[order]
-        et = et[order]
-        V = us_all[et == stage_view]
-        C = us_all[et == stage_click]  # sorted (slices of a sorted array)
-        B = us_all[et == stage_buy]
+        st = st[order]
+        V = us_all[st == 0]
+        C = us_all[st == 1]  # sorted (slices of a sorted array)
+        B = us_all[st == 2]
         seen += len(us_all)
         if len(V):
             md = max(md, 1)
@@ -101,7 +127,7 @@ def funnel_state_machine(stream_df: DataFrame, window_us: int) -> DataFrame:
                 md = max(md, 2)
             p2a = np.concatenate([p2a, new_a])
             p2b = np.concatenate([p2b, new_b])
-            del dead  # depth-1 finals; md already ≥ 1
+            del dead  # depth-1 finals; md already >= 1
         else:
             p1 = views
         # step 2: chains (carried + new) meet the batch's buys
@@ -122,13 +148,9 @@ def funnel_state_machine(stream_df: DataFrame, window_us: int) -> DataFrame:
             p1 = p1[p1 + window_us >= horizon]
             keep = p2a + window_us >= horizon
             p2a, p2b = p2a[keep], p2b[keep]
-        state.update(
-            (md, nf, seen, [int(x) for x in p1], [int(x) for x in p2a], [int(x) for x in p2b])
-        )
+        state.update((md, nf, seen, p1.tolist(), p2a.tolist(), p2b.tolist()))
         if md == 0:  # no view yet: the batch output has no row for this key
-            yield pd.DataFrame(
-                {"user_id": [], "max_depth": [], "n_full": [], "n_proc": []}
-            ).astype({"user_id": "int64", "max_depth": "int32", "n_full": "int64", "n_proc": "int64"})
+            yield _EMPTY_OUT.copy(deep=False)
         else:
             yield pd.DataFrame(
                 {
@@ -139,7 +161,15 @@ def funnel_state_machine(stream_df: DataFrame, window_us: int) -> DataFrame:
                 }
             )
 
-    return stream_df.groupBy("user_id").applyInPandasWithState(
+    import pandas as _pd
+
+    _EMPTY_OUT = _pd.DataFrame(
+        {"user_id": [], "max_depth": [], "n_full": [], "n_proc": []}
+    ).astype(
+        {"user_id": "int64", "max_depth": "int32", "n_full": "int64", "n_proc": "int64"}
+    )
+
+    return prepped.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, max_depth int, n_full long, n_proc long",
         stateStructType=(
