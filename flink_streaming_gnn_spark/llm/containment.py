@@ -1,0 +1,115 @@
+"""N-gram CONTAINMENT near-dup detection with EXACT prefix filtering —
+the doc-in-doc complement of ``dedup_ngram_jaccard`` (Jaccard misses a
+short document quoted inside a long one: the union term swamps the
+intersection; containment |sh(a) ∩ sh(b)| / |sh(a)| does not). This is
+the C4/RefinedWeb-style "document substantially included in another"
+detector a curation pipeline runs next to symmetric near-dup.
+
+Candidate generation is the AllPairs / PPJoin PREFIX FILTER (Bayardo,
+Ma & Srikant, WWW 2007; Xiao et al., WWW 2008), the exact (zero-miss)
+scalable discipline: order every document's shingles by GLOBAL rarity
+((corpus frequency, shingle) ascending); for containment threshold
+T = 4/5, a pair with overlap ≥ o = ceil(4·|sh_a|/5) must share at
+least one of the first |sh_a| − o + 1 RAREST shingles of a (the
+non-prefix remainder holds only o − 1 elements, one fewer than the
+required overlap), so joining a-prefixes against the full posting
+lists provably generates every qualifying pair. Scale posture: prefix
+entries are each document's rarest shingles, so the posting lists the
+join probes are the SHORT tail of the frequency distribution — the
+fan-out bound that makes AllPairs subquadratic in practice; the known
+refinement (also prefix-filter the indexed side using a length bound)
+is one more filter on the same plan.
+
+Integer-exact thresholding: o and the verify condition use pure
+integer arithmetic (``5·inter ≥ 4·|sh_a|`` and
+``o = (4·|sh| + 4) div 5``), so there is no float-boundary case for
+the two engines to disagree on; the emitted containment value is the
+rounded ratio, computed identically in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.llm.dedup import _SHINGLES_EXPR
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+# containment threshold T = CONT_NUM / CONT_DEN (integer-exact)
+CONT_NUM, CONT_DEN = 4, 5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs: (doc_a contained-in doc_b) with
+    trigram-shingle containment ≥ 4/5, via exact prefix filtering."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+    )
+    ex = d.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").cast("long").alias("fr"))
+    ranked = ex.join(freq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("fr", "s")
+        ),
+    )
+    # o = ceil(T * sz) in integers; prefix = sz - o + 1 rarest shingles
+    o = (F.lit(CONT_NUM) * F.col("sz") + F.lit(CONT_DEN - 1)) / F.lit(CONT_DEN)
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.floor(o).cast("long") + 1
+    ).select(F.col("doc_id").alias("doc_a"), "s")
+    full = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    cands = (
+        prefix.join(full, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("sz_a", F.size("sh_a").cast("long"))
+        # integer-exact threshold: inter / sz_a >= 4/5
+        .filter(F.col("inter") * CONT_DEN >= F.lit(CONT_NUM) * F.col("sz_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("sz_a"), 4).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES = {"dedup_containment": dedup_containment}
+
+ORACLE = {
+    # the oracle verifies ALL directed pairs (no prefix filter) — a
+    # cross-formulation check that the prefix filter misses nothing,
+    # which is exactly its zero-miss guarantee
+    "dedup_containment": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                                  for i in range(1, len(t) - 1)]) AS sh
+            FROM toks
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                     / CAST(len(a.sh) AS DOUBLE), 4) AS containment
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * {CONT_DEN}
+              >= {CONT_NUM} * CAST(len(a.sh) AS BIGINT)
+        ORDER BY doc_a, doc_b
+    """,
+}
