@@ -25,6 +25,22 @@ integer arithmetic (``5·inter ≥ 4·|sh_a|`` and
 ``o = (4·|sh| + 4) div 5``), so there is no float-boundary case for
 the two engines to disagree on; the emitted containment value is the
 rounded ratio, computed identically in both.
+
+EXACT-CLONE COLLAPSE FIRST (the ``dedup_ngram_jaccard`` discipline —
+and a real scale lesson the ×10 probe taught this module on day one):
+on a corpus with heavy exact replication, running the prefix join on
+raw doc_ids makes every clone's posting-list entry a candidate partner
+of every other clone's — the candidate set grows with clones², melting
+the probe. Identical texts are therefore collapsed to a min-doc_id
+representative before the shingle/prefix machinery, and the full
+directed pair list is recovered exactly afterwards: clones share their
+representative's shingle set verbatim, so a cross-group pair inherits
+its representatives' containment, and a within-group pair is
+identically 1.0 (a set contains itself). The prefix filter's shingle
+order is computed over representatives — correctness of the filter
+needs only a FIXED global order (the pigeonhole argument never uses
+rarity; rarity is the fan-out heuristic), so dedup'd frequencies are
+as valid as raw ones.
 """
 
 from __future__ import annotations
@@ -33,21 +49,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.llm.dedup import _SHINGLES_EXPR
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 # containment threshold T = CONT_NUM / CONT_DEN (integer-exact)
 CONT_NUM, CONT_DEN = 4, 5
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed near-containment pairs: (doc_a contained-in doc_b) with
-    trigram-shingle containment ≥ 4/5, via exact prefix filtering."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .withColumn("toks", F.split("text", " "))
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
-    )
+def _rep_containment_pairs(d: DataFrame) -> DataFrame:
+    """Directed containment pairs over a (doc_id, sh) frame via exact
+    prefix filtering (module docstring). Returns (doc_a, doc_b,
+    containment)."""
     ex = d.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count("*").cast("long").alias("fr"))
     ranked = ex.join(freq, "s").withColumn(
@@ -83,8 +95,50 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round(F.col("inter") / F.col("sz_a"), 4).alias("containment"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs: (doc_a contained-in doc_b) with
+    trigram-shingle containment ≥ 4/5 — exact-clone collapse, prefix
+    filter on representatives, exact pair recovery (module docstring)."""
+    keyed = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", "text", F.xxhash64("text").alias("th"))
+    )
+    reps = keyed.groupBy("th").agg(F.min("doc_id").alias("rep_id"))
+    members = keyed.join(maybe_broadcast(reps), "th").select("doc_id", "rep_id")
+    rep_sh = (
+        keyed.join(maybe_broadcast(reps), "th")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+    )
+    rep_pairs = _rep_containment_pairs(rep_sh)
+    m_a = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("da"))
+    m_b = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(m_a, "doc_a")
+        .join(m_b, "doc_b")
+        .filter(F.col("da") != F.col("db"))
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "containment")
+    )
+    within = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 QUERIES = {"dedup_containment": dedup_containment}
