@@ -221,6 +221,22 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Generate", r"HashAggregate"],
         [r"CartesianProduct", r"EvalPython", r"InPandas"],
     ),
+    # round-5: butterfly census — wedge equi-join + hash aggs, all JVM,
+    # never a cartesian (the wedge join is on the shared customer)
+    "graph_butterfly_count": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
+    "graph_butterfly_per_vertex": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
+    # round-5: containment — prefix-filter equi-join on the shingle, all
+    # JVM; the only Generate nodes are the shingle explodes
+    "dedup_containment": (
+        [r"Generate", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
+    ),
     # GIN: same all-JVM discipline as GCN; broadcast gated below
     "graph_gin_layer": (
         [r"HashAggregate", r"partial_sum"],
