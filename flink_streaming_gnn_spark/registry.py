@@ -135,6 +135,7 @@ _MODULES = (
     # --- round-5 additions ---
     "flink_streaming_gnn_spark.graph.butterflies",
     "flink_streaming_gnn_spark.llm.containment",
+    "flink_streaming_gnn_spark.streaming.scd2",
 )
 
 

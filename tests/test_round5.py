@@ -225,6 +225,28 @@ def test_mst_local_tail_equals_distributed(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# streaming/scd2.py — the streamed SCD2 history must equal the batch
+# twin row-for-row (closed intervals are immutable facts; the final
+# open record per user matches lead() = NULL).
+
+
+def test_stream_scd2_equals_batch(spark):
+    from flink_streaming_gnn_spark.operators.seasonal import scd2_intervals
+    from flink_streaming_gnn_spark.streaming.scd2 import stream_scd2_e2e
+
+    key = lambda r: (r["user_id"], r["event_id"])  # noqa: E731
+    got = {
+        key(r): (r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in stream_scd2_e2e(spark, SF_SMOKE).collect()
+    }
+    want = {
+        key(r): (r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # graph/butterflies.py — wedge-identity census vs a from-scratch Python
 # count over the same distinct bipartite edges.
 
