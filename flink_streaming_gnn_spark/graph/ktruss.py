@@ -32,6 +32,15 @@ from flink_streaming_gnn_spark.graph.edges import EDGES_V_CTE, derive_vertex_emb
 KTRUSS_K = 60
 ORACLE_ROUNDS = 7  # ≥ measured sf0.01 convergence (6) — idempotent beyond
 MAX_ROUNDS = 40
+# Constant-bounded local peel (the graph/mst.py LOCAL_TAIL_EDGES
+# discipline): at or below this edge count the whole peel runs as a
+# driver-side set-intersection loop — the collect is bounded by the
+# CONSTANT, never by data size. The projected (mod-500) graph is in
+# fact constant-bounded by construction (≤ C(500,2) edges at any sf),
+# so at every fixture scale the peel is the tail; the distributed
+# round shape stays for general graphs and is pinned equal to the
+# local peel by tests/test_round5.py (LOCAL_PEEL_EDGES = 0).
+LOCAL_PEEL_EDGES = 131072
 
 
 def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,12 +69,40 @@ def _support(e: DataFrame) -> DataFrame:
     )
 
 
+def _local_peel(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Driver-side support peel over a ≤ LOCAL_PEEL_EDGES edge set:
+    identical fixpoint (the peel is a monotone function of the edge set,
+    independent of execution strategy)."""
+    edges = {(int(r["a"]), int(r["b"])) for r in e.collect()}
+    sup: dict[tuple[int, int], int] = {}
+    for _ in range(MAX_ROUNDS):
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        kept = {k for k, s in sup.items() if s >= KTRUSS_K - 2}
+        if kept == edges:
+            break
+        edges = kept
+        if not edges:
+            break
+    else:
+        raise RuntimeError("k-truss peel did not converge within MAX_ROUNDS")
+    out = [(a, b, sup[(a, b)]) for a, b in sorted(edges)]
+    return spark.createDataFrame(out, "a long, b long, support long").orderBy(
+        "a", "b"
+    )
+
+
 def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry key: the K-truss of the projected graph — surviving
     edges with their converged support (support ≥ K−2 within the truss).
     """
     e = _canonical_edges(spark, sf_dir).localCheckpoint()
     n_edges = e.count()
+    if n_edges <= LOCAL_PEEL_EDGES:
+        return _local_peel(spark, e)
     for _ in range(MAX_ROUNDS):
         sup = _support(e)
         kept = sup.filter(F.col("s") >= KTRUSS_K - 2)

@@ -225,6 +225,26 @@ def test_mst_local_tail_equals_distributed(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# graph/ktruss.py — the constant-bounded local peel must equal the
+# distributed round loop (same monotone fixpoint).
+
+
+def test_ktruss_local_peel_equals_distributed(spark, monkeypatch):
+    from flink_streaming_gnn_spark.graph import ktruss
+
+    local = {
+        (r["a"], r["b"]): r["support"]
+        for r in ktruss.graph_ktruss(spark, SF_SMOKE).collect()
+    }
+    monkeypatch.setattr(ktruss, "LOCAL_PEEL_EDGES", 0)
+    dist = {
+        (r["a"], r["b"]): r["support"]
+        for r in ktruss.graph_ktruss(spark, SF_SMOKE).collect()
+    }
+    assert local == dist
+
+
+# ---------------------------------------------------------------------------
 # streaming/scd2.py — the streamed SCD2 history must equal the batch
 # twin row-for-row (closed intervals are immutable facts; the final
 # open record per user matches lead() = NULL).
