@@ -136,6 +136,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.graph.butterflies",
     "flink_streaming_gnn_spark.llm.containment",
     "flink_streaming_gnn_spark.streaming.scd2",
+    "flink_streaming_gnn_spark.llm.unigram",
 )
 
 

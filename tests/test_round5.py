@@ -303,6 +303,83 @@ def test_butterfly_count_vs_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# llm/unigram.py — the distributed EM must match a from-scratch pure
+# Python unigram-LM trainer (same seed rule, same rounds) to float
+# tolerance, with the piece SET matching exactly.
+
+
+def test_unigram_train_vs_python(spark):
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.llm.unigram import (
+        EM_ROUNDS,
+        SEED_MAX_LEN,
+        VOCAB_EXTRA,
+        tokenizer_unigram_train,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    wf: dict[str, int] = defaultdict(int)
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                wf[w] += 1
+    # seed: substring counts, all single chars + top VOCAB_EXTRA multis
+    cnt: dict[str, int] = defaultdict(int)
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + SEED_MAX_LEN) + 1):
+                cnt[w[i:j]] += f
+    chars = {p: c for p, c in cnt.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in cnt.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:VOCAB_EXTRA]
+    seed = dict(chars)
+    seed.update(dict(multis))
+    total = sum(seed.values())
+    vocab = {p: c / total for p, c in seed.items()}
+    max_len = max(len(p) for p in vocab)
+    for _ in range(EM_ROUNDS):
+        acc: dict[str, float] = defaultdict(float)
+        for w, f in wf.items():
+            n = len(w)
+            alpha = [0.0] * (n + 1)
+            alpha[0] = 1.0
+            for i in range(1, n + 1):
+                alpha[i] = sum(
+                    alpha[j] * vocab[w[j:i]]
+                    for j in range(max(0, i - max_len), i)
+                    if w[j:i] in vocab
+                )
+            beta = [0.0] * (n + 1)
+            beta[n] = 1.0
+            for i in range(n - 1, -1, -1):
+                beta[i] = sum(
+                    vocab[w[i:j]] * beta[j]
+                    for j in range(i + 1, min(n, i + max_len) + 1)
+                    if w[i:j] in vocab
+                )
+            z = alpha[n]
+            if z == 0.0:
+                continue
+            for i in range(n):
+                for j in range(i + 1, min(n, i + max_len) + 1):
+                    if w[i:j] in vocab:
+                        acc[w[i:j]] += f * alpha[i] * vocab[w[i:j]] * beta[j] / z
+        tot = sum(acc.values())
+        vocab = {p: v / tot for p, v in acc.items()}
+    got = {
+        r["piece"]: r["prob"]
+        for r in tokenizer_unigram_train(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(vocab)
+    for p in got:
+        assert abs(got[p] - vocab[p]) < 1e-4, (p, got[p], vocab[p])
+
+
+# ---------------------------------------------------------------------------
 # llm/containment.py — the prefix-filter candidate stage must miss
 # nothing: compare against a brute-force all-pairs containment in Python.
 
