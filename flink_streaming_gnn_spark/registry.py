@@ -137,6 +137,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.containment",
     "flink_streaming_gnn_spark.streaming.scd2",
     "flink_streaming_gnn_spark.llm.unigram",
+    "flink_streaming_gnn_spark.operators.drift",
 )
 
 

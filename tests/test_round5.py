@@ -303,6 +303,41 @@ def test_butterfly_count_vs_python(spark):
 
 
 # ---------------------------------------------------------------------------
+# operators/drift.py — distributed-bucketed KS statistic vs a
+# from-scratch Python ECDF computation.
+
+
+def test_ks_drift_vs_python(spark):
+    from flink_streaming_gnn_spark.operators.drift import (
+        TYPE_A,
+        TYPE_B,
+        dq_ks_drift,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(r.value for r in rows if r.event_type == TYPE_A)
+    b = sorted(r.value for r in rows if r.event_type == TYPE_B)
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in grid
+    )
+    got = dq_ks_drift(spark, SF_SMOKE).collect()[0]
+    assert got.n_a == len(a) and got.n_b == len(b)
+    assert abs(got.ks_stat - round(d, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
 # llm/unigram.py — the distributed EM must match a from-scratch pure
 # Python unigram-LM trainer (same seed rule, same rounds) to float
 # tolerance, with the piece SET matching exactly.
