@@ -237,6 +237,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Generate", r"HashAggregate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
     ),
+    # round-5: KS drift — bucketed cumulative windows partitioned by the
+    # literal-boundary bucket id (the final 1-row agg is the only
+    # SinglePartition exchange; the window itself shuffles on _pid)
+    "dq_ks_drift": (
+        [r"Window", r"hashpartitioning\(_pid"],
+        [r"Join", r"EvalPython"],
+    ),
     # GIN: same all-JVM discipline as GCN; broadcast gated below
     "graph_gin_layer": (
         [r"HashAggregate", r"partial_sum"],
