@@ -40,39 +40,37 @@ def scd2_state_machine(stream_df: DataFrame) -> DataFrame:
     event_type); emits closed intervals plus the open one each batch."""
 
     def update(key, pdf_iter, state: GroupState):
+        """Fully vectorized (the ×10 probe measured the per-row Python
+        list loop at 121 s over 10M events): sort once, prepend the open
+        state row, and the closing timestamps are just the µs array
+        shifted by one — no per-element Python. The open tail's NULL
+        valid_to rides a nullable Int64 column."""
+        import numpy as np
         import pandas as pd
 
         chunks = list(pdf_iter)
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-        rows = rows.sort_values(["us", "event_id"], kind="stable")
-        us = rows["us"].to_list()
-        eid = rows["event_id"].to_list()
-        et = rows["event_type"].to_list()
+        us = rows["us"].to_numpy(dtype=np.int64, copy=False)
+        eid = rows["event_id"].to_numpy(dtype=np.int64, copy=False)
+        et = rows["event_type"].to_numpy()
+        order = np.lexsort((eid, us))  # by (us, event_id)
+        us, eid, et = us[order], eid[order], et[order]
         if state.exists:
             o_eid, o_us, o_et = state.get
-            eid.insert(0, o_eid)
-            us.insert(0, o_us)
-            et.insert(0, o_et)
-        out_eid, out_et, out_vf, out_vt = [], [], [], []
-        for i in range(len(us) - 1):  # every record but the last closes
-            out_eid.append(eid[i])
-            out_et.append(et[i])
-            out_vf.append(us[i])
-            out_vt.append(us[i + 1])
-        # the open (current) record — re-emitted until a later batch
-        # closes it; the final selection supersedes stale opens
-        out_eid.append(eid[-1])
-        out_et.append(et[-1])
-        out_vf.append(us[-1])
-        out_vt.append(None)
-        state.update((int(eid[-1]), int(us[-1]), et[-1]))
+            us = np.concatenate(([o_us], us))
+            eid = np.concatenate(([o_eid], eid))
+            et = np.concatenate(([o_et], et))
+        vt = pd.array(np.concatenate((us[1:], [0])), dtype="Int64")
+        vt[-1] = pd.NA  # the open (current) record — re-emitted until a
+        # later batch closes it; the final selection supersedes it
+        state.update((int(eid[-1]), int(us[-1]), str(et[-1])))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]] * len(out_eid),
-                "event_id": out_eid,
-                "event_type": out_et,
-                "vf_us": out_vf,
-                "vt_us": out_vt,
+                "user_id": np.full(len(us), key[0], dtype=np.int64),
+                "event_id": eid,
+                "event_type": et,
+                "vf_us": us,
+                "vt_us": vt,
             }
         )
 
@@ -91,7 +89,7 @@ def scd2_state_machine(stream_df: DataFrame) -> DataFrame:
 def stream_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
-        run_update_to_completion,
+        run_update_spooled,
     )
 
     stream = events_stream(spark, sf_dir, files_per_trigger=2).select(
@@ -100,16 +98,17 @@ def stream_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
     )
-    out = run_update_to_completion(scd2_state_machine(stream), "scd2_e2e")
-    # per (user_id, event_id): the closed version wins; open emissions
-    # that were later closed are superseded (identical otherwise)
+    # event-sized emission → parquet spool, not the driver memory sink
+    # (x10 probe: the memory sink alone cost ~90 s at 10M rows)
+    out = run_update_spooled(scd2_state_machine(stream), "scd2_e2e")
+    # per (user_id, event_id): the closed version wins (emitted exactly
+    # once); open re-emissions are bit-identical to each other, so the
+    # row_number pick needs no distinct() pre-pass — one shuffle, not two
     w = Window.partitionBy("user_id", "event_id").orderBy(
         F.col("vt_us").asc_nulls_last()
     )
-    picked = (
-        out.distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    picked = out.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
     )
     return picked.select(
         "user_id",
