@@ -125,9 +125,63 @@ def cep_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cep_absence_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSENCE detection — FlinkCEP's ``notFollowedBy`` with a timeout,
+    the "abandoned cart": a view with NO purchase strictly inside the
+    next hour ((t, t+W] on the integer µs timeline). The third canonical
+    CEP shape next to the funnel (sequence) and the V (value pattern).
+
+    Same one-exchange discipline as ``cep_window_funnel``: each view row
+    learns its user's earliest strictly-later purchase via one
+    conditional ``min`` over the RANGE 1..∞ frame; abandoned ⟺ that
+    purchase is missing or lands past the deadline. Batch semantics at
+    the data's edge: a view with no later purchase at all counts as
+    abandoned (a streaming twin would hold it until the watermark passes
+    t+W — the ``stream_tumbling_append_e2e`` withheld-tail discipline).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    views = (
+        ev.select(
+            "user_id",
+            "us",
+            "event_type",
+            F.min(
+                F.when(F.col("event_type") == STAGES[2], F.col("us"))
+            ).over(w).alias("np"),
+        )
+        .filter(F.col("event_type") == STAGES[0])
+        .withColumn(
+            "abandoned",
+            F.col("np").isNull() | (F.col("np") > F.col("us") + WINDOW_US),
+        )
+    )
+    return (
+        views.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_views"),
+            F.sum(F.col("abandoned").cast("long")).cast("long").alias("n_abandoned"),
+            F.round(
+                F.sum(F.col("abandoned").cast("long")) / F.count("*"), 4
+            ).alias("abandon_rate"),
+            F.min(F.when(F.col("abandoned"), F.col("us"))).alias("first_abandoned_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "cep_window_funnel": cep_window_funnel,
     "cep_pattern_vshape": cep_pattern_vshape,
+    "cep_absence_timeout": cep_absence_timeout,
 }
 
 ORACLE = {
@@ -168,6 +222,33 @@ ORACLE = {
                CAST(sum(CASE WHEN t2 IS NOT NULL AND t3 IS NOT NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_full
         FROM chains
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "cep_absence_timeout": f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        ),
+        nxt AS (
+            SELECT user_id, us, event_type,
+                   min(CASE WHEN event_type = '{STAGES[2]}' THEN us END) OVER w AS np
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        ),
+        views AS (
+            SELECT user_id, us,
+                   (np IS NULL OR np > us + {WINDOW_US}) AS abandoned
+            FROM nxt WHERE event_type = '{STAGES[0]}'
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_views,
+               CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_abandoned,
+               round(sum(CASE WHEN abandoned THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS abandon_rate,
+               min(CASE WHEN abandoned THEN us END) AS first_abandoned_us
+        FROM views
         GROUP BY user_id
         ORDER BY user_id
     """,
