@@ -138,6 +138,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.streaming.scd2",
     "flink_streaming_gnn_spark.llm.unigram",
     "flink_streaming_gnn_spark.operators.drift",
+    "flink_streaming_gnn_spark.graph.temporalmotif",
 )
 
 
