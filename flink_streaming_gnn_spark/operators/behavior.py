@@ -149,9 +149,51 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each ``purchase`` event's value
+    is credited to the user's most recent preceding non-purchase event
+    type (the "channel"); purchases with no preceding touch go to
+    ``direct``. The canonical attribution query every event-analytics
+    stack ships (GA/Amplitude last-touch model).
+
+    Shape: ONE shuffle on user_id for the carry-forward window
+    (``last(..., ignorenulls=True)`` over rows-unbounded-preceding — the
+    same LOCF discipline as ``ts_gapfill_locf``), then a channel
+    aggregate whose output is bounded by |event_type|, corpus-invariant.
+    Purchase values are summed as DECIMAL so the credit totals are
+    exact and associative (fp addition order cannot flip the rounded
+    cent between engines at any scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touched = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("channel"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .withColumn("channel", F.coalesce("channel", F.lit("direct")))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).cast("double").alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "user_rfm_segments": user_rfm_segments,
+    "olap_attribution_last_touch": olap_attribution_last_touch,
 }
 
 ORACLE = {
@@ -196,5 +238,26 @@ ORACLE = {
                    || CAST(m_score AS VARCHAR) AS segment
         FROM scored
         ORDER BY user_id
+    """,
+    "olap_attribution_last_touch": """
+        WITH touched AS (
+            SELECT event_type,
+                   CAST(value AS DECIMAL(18,6)) AS value,
+                   last_value(
+                       CASE WHEN event_type <> 'purchase' THEN event_type END
+                       IGNORE NULLS
+                   ) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS channel
+            FROM events
+        )
+        SELECT coalesce(channel, 'direct') AS channel,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(round(sum(value), 2) AS DOUBLE) AS attributed_value
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY 1
     """,
 }
