@@ -209,7 +209,9 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.avg("value").alias("v"))
-    a, b = daily.alias("a"), daily.alias("b")
+    # the daily frame is bounded by |event_type| · |calendar days| — tiny
+    # at ANY corpus size, so the self-join side is always broadcastable
+    a, b = daily.alias("a"), F.broadcast(daily.alias("b"))
     pairs = a.join(
         b,
         (F.col("a.event_type") == F.col("b.event_type"))

@@ -368,6 +368,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"row_number"],
         [r"Join", r"EvalPython", r"Exchange SinglePartition", r"ntile"],
     ),
+    # last-touch attribution: one user_id window (LOCF carry-forward) +
+    # one bounded channel aggregate — no join, no Python
+    "olap_attribution_last_touch": (
+        [r"Window", r"HashAggregate"],
+        [r"Join", r"EvalPython", r"CartesianProduct"],
+    ),
+    # Theil–Sen: the corpus-sized pass is ONE hash agg to daily means;
+    # the pairwise stage self-joins the calendar-bounded daily frame and
+    # must broadcast (hinted) — never a sort-merge of a corpus-sized side
+    "ts_theil_sen_trend": (
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [r"EvalPython", r"CartesianProduct", r"SortMergeJoin"],
+    ),
     # z-order stats read back the clustered files: plain scan + one agg
     "sink_zorder_layout": ([r"HashAggregate"], [r"Join", r"EvalPython"]),
     # band join: the ε-bucket rewrite MUST be a broadcast equi-join on the
