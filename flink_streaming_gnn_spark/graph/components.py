@@ -42,18 +42,13 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
 
-def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vertex component labels by hash-min propagation (driver loop
-    with an O(1)-size convergence read per round).
-
-    Each round ends in an eager ``localCheckpoint``: every round's plan
-    references the previous labels frame TWICE (the neighbor-min join and
-    the convergence anti-comparison), and plan-tree re-analysis doubles per
-    shared reference — persist caches data but keeps the logical plan, so
-    a persist-only loop pays 2^round Catalyst analysis by late rounds
-    (measured pathologically on the HITS loop, graph/hits.py). Checkpoint
-    truncates the plan to a leaf; analysis stays O(1) per round."""
-    edges = _undirected_edges(spark, sf_dir).localCheckpoint()
+def hash_min_cc(edges: DataFrame) -> DataFrame:
+    """Hash-min label propagation over an arbitrary undirected edge frame
+    ``(a, b)`` (both directions present; self-loops harmless) — returns
+    the fixpoint ``(v, lbl)`` labels. Factored out so the streaming
+    incremental-CC operator (streaming/graphcc.py) can run the same loop
+    per micro-batch on (contracted prior state ∪ new edges)."""
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
     ).localCheckpoint()
@@ -83,6 +78,20 @@ def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex component labels by hash-min propagation (driver loop
+    with an O(1)-size convergence read per round).
+
+    Each round ends in an eager ``localCheckpoint``: every round's plan
+    references the previous labels frame TWICE (the neighbor-min join and
+    the convergence anti-comparison), and plan-tree re-analysis doubles per
+    shared reference — persist caches data but keeps the logical plan, so
+    a persist-only loop pays 2^round Catalyst analysis by late rounds
+    (measured pathologically on the HITS loop, graph/hits.py). Checkpoint
+    truncates the plan to a leaf; analysis stays O(1) per round."""
+    return hash_min_cc(_undirected_edges(spark, sf_dir))
 
 
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -139,6 +139,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.unigram",
     "flink_streaming_gnn_spark.operators.drift",
     "flink_streaming_gnn_spark.graph.temporalmotif",
+    "flink_streaming_gnn_spark.streaming.graphcc",
 )
 
 
@@ -222,8 +223,11 @@ _PRIORITY_KEYS_R4 = (
 # attested across CORRECTNESS_r01..r04 (34 carried from the r4 plan + 38
 # round-4 additions = 72; verified against the artifacts by
 # tools/check_keys.py). The driver records the FIRST 50, so the tail past
-# position 50 (22 keys) rolls into the round-6 window the same way. The
-# three keys with no DuckDB oracle (multimodal_decode_stub,
+# position 50 (22 keys) rolls into the round-6 window, joined by the 12
+# round-5 additions (attribution, Theil–Sen, temporal wedge, butterflies,
+# containment, unigram ×2, KS drift, CEP absence, TTL/SCD2 streams) for a
+# 34-key round-6 remainder — one final window closes full attestation.
+# The three keys with no DuckDB oracle (multimodal_decode_stub,
 # agg_hll_sketch_rollup, agg_approx_quantile) are pinned at the very end
 # so no round-5 window slot is spent on a rows-only row.
 _PRIORITY_KEYS_R5 = (

@@ -94,7 +94,52 @@ def test_theil_sen_vs_python(spark):
 
 
 # ---------------------------------------------------------------------------
-# registry integrity for the two new keys.
+# streaming/graphcc.py — the incremental merge step must equal a Python
+# union-find over the CUMULATIVE edge set after EVERY batch, on a
+# synthetic sequence engineered so components merge ACROSS batch
+# boundaries (the case the single-component sf fixture can't probe).
+
+
+def test_incremental_cc_merges_across_batches(spark):
+    from flink_streaming_gnn_spark.streaming.graphcc import merge_batch
+
+    batches = [
+        [(0, 1), (2, 3), (4, 5), (10, 11)],   # four islands
+        [(1, 2), (5, 6)],                      # chain two pairs of them
+        [(3, 4), (20, 21)],                    # merge everything 0..6 + new island
+    ]
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    labels = None
+    seen: list[tuple[int, int]] = []
+    for batch in batches:
+        seen += batch
+        und = spark.createDataFrame(
+            [(a, b) for a, b in batch] + [(b, a) for a, b in batch],
+            "a long, b long",
+        )
+        labels = merge_batch(labels, und).localCheckpoint()
+        got = {r["v"]: r["lbl"] for r in labels.collect()}
+        assert got == uf_components(seen), f"diverged after batch {batch}"
+
+
+# ---------------------------------------------------------------------------
+# registry integrity for the new keys.
 
 
 def test_round5b_keys_registered():
@@ -102,5 +147,9 @@ def test_round5b_keys_registered():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    for k in ("olap_attribution_last_touch", "ts_theil_sen_trend"):
+    for k in (
+        "olap_attribution_last_touch",
+        "ts_theil_sen_trend",
+        "stream_cc_e2e",
+    ):
         assert k in q and k in o
