@@ -223,10 +223,10 @@ _PRIORITY_KEYS_R4 = (
 # attested across CORRECTNESS_r01..r04 (34 carried from the r4 plan + 38
 # round-4 additions = 72; verified against the artifacts by
 # tools/check_keys.py). The driver records the FIRST 50, so the tail past
-# position 50 (22 keys) rolls into the round-6 window, joined by the 12
+# position 50 (22 keys) rolls into the round-6 window, joined by the 13
 # round-5 additions (attribution, Theil–Sen, temporal wedge, butterflies,
-# containment, unigram ×2, KS drift, CEP absence, TTL/SCD2 streams) for a
-# 34-key round-6 remainder — one final window closes full attestation.
+# containment, unigram ×2, KS drift, CEP absence, TTL/SCD2/CC streams)
+# for a 35-key round-6 remainder — one final window closes attestation.
 # The three keys with no DuckDB oracle (multimodal_decode_stub,
 # agg_hll_sketch_rollup, agg_approx_quantile) are pinned at the very end
 # so no round-5 window slot is spent on a rows-only row.
