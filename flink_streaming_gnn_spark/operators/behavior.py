@@ -190,13 +190,121 @@ def olap_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution — the multi-touch companion
+    of ``olap_attribution_last_touch``: each converting purchase credits
+    40% of its value to the journey's first touch, 40% to its last, and
+    splits the remaining 20% equally across the middles (1 touch → 100%,
+    2 touches → 50/50, 0 touches → ``direct``).
+
+    Join-free journey segmentation: a journey is every event up to and
+    including the user's next purchase, identified by the running count
+    of PRIOR purchases — so each touch belongs to exactly one journey and
+    the purchase is its journey's last row by construction. Everything is
+    windows over ONE user_id shuffle (the sessionization partitioning) +
+    a |channel|-bounded aggregate: no purchase×touch join, no fan-out.
+    Credits are IEEE doubles; only the final channel sum is rounded (2 dp).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = ev.select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum(is_p.cast("long")).over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("jid"),
+        "user_id",
+        "ts",
+        "event_id",
+    )
+    wj = Window.partitionBy("user_id", "jid")
+    scored = j.select(
+        "event_type",
+        F.row_number().over(wj.orderBy("ts", "event_id")).alias("rn"),
+        F.sum((~is_p).cast("long")).over(wj).alias("k"),
+        F.max(F.when(is_p, F.col("value"))).over(wj).alias("pv"),
+    )
+    credit = (
+        F.when((F.col("event_type") == "purchase") & (F.col("k") == 0), F.col("pv"))
+        .when(F.col("event_type") == "purchase", F.lit(None))
+        .when(F.col("pv").isNull(), F.lit(None))  # journey never converted
+        .when(F.col("k") == 1, F.col("pv"))
+        .when(F.col("k") == 2, F.col("pv") / 2.0)
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")), 0.4 * F.col("pv")
+        )
+        .otherwise(0.2 * F.col("pv") / (F.col("k") - 2))
+    )
+    return (
+        scored.select(
+            F.when(F.col("event_type") == "purchase", F.lit("direct"))
+            .otherwise(F.col("event_type"))
+            .alias("channel"),
+            credit.alias("credit"),
+        )
+        .filter(F.col("credit").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_credited"),
+            F.round(F.sum("credit"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "user_rfm_segments": user_rfm_segments,
     "olap_attribution_last_touch": olap_attribution_last_touch,
+    "olap_attribution_position": olap_attribution_position,
 }
 
+_ATTRIB_POSITION_SQL = """
+    WITH j AS (
+        SELECT event_type, value, user_id, ts, event_id,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS jid
+        FROM events
+    ),
+    scored AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id, jid
+                                  ORDER BY ts, event_id) AS rn,
+               sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, jid) AS k,
+               max(CASE WHEN event_type = 'purchase' THEN value END)
+                   OVER (PARTITION BY user_id, jid) AS pv
+        FROM j
+    ),
+    credited AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 'direct'
+                    ELSE event_type END AS channel,
+               CASE WHEN event_type = 'purchase' AND k = 0 THEN pv
+                    WHEN event_type = 'purchase' THEN NULL
+                    WHEN pv IS NULL THEN NULL
+                    WHEN k = 1 THEN pv
+                    WHEN k = 2 THEN pv / 2.0
+                    WHEN rn = 1 OR rn = k THEN 0.4 * pv
+                    ELSE 0.2 * pv / (k - 2) END AS credit
+        FROM scored
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credited,
+           round(sum(credit), 2) AS attributed_value
+    FROM credited
+    WHERE credit IS NOT NULL
+    GROUP BY channel
+    ORDER BY channel
+"""
+
 ORACLE = {
+    "olap_attribution_position": _ATTRIB_POSITION_SQL,
     "event_transition_matrix": """
         WITH pairs AS (
             SELECT lag(event_type) OVER (

@@ -140,6 +140,11 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.drift",
     "flink_streaming_gnn_spark.graph.temporalmotif",
     "flink_streaming_gnn_spark.streaming.graphcc",
+    "flink_streaming_gnn_spark.operators.frontier",
+    "flink_streaming_gnn_spark.operators.techind",
+    "flink_streaming_gnn_spark.llm.dsir",
+    "flink_streaming_gnn_spark.llm.stump",
+    "flink_streaming_gnn_spark.sources.binaryfiles",
 )
 
 

@@ -1,0 +1,404 @@
+"""Round-5c additions: skyline, Benford, JS-divergence, Bollinger bands,
+RSI — each pinned against a from-scratch Python/pandas twin on the smoke
+fixture (the DuckDB twin runs in the oracle differential)."""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMOKE  # noqa: F401
+
+
+def _daily_qty(spark):
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_shipdate", "l_quantity"
+    ).collect()
+    per_day: dict = {}
+    for r in rows:
+        d = r.l_shipdate.date()
+        per_day[d] = per_day.get(d, 0) + int(r.l_quantity)
+    return sorted(per_day.items())
+
+
+# ---------------------------------------------------------------------------
+# operators/frontier.py — skyline vs the O(n²) brute-force dominance check.
+
+
+def test_skyline_vs_bruteforce(spark):
+    from flink_streaming_gnn_spark.operators.frontier import olap_skyline_pareto
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_quantity")
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_retailprice")
+    qty = {}
+    for r in li.collect():
+        qty[r.l_partkey] = qty.get(r.l_partkey, 0) + int(r.l_quantity)
+    price = {r.p_partkey: r.p_retailprice for r in part.collect()}
+    pts = {}
+    for pk, q in qty.items():
+        pts.setdefault((price[pk], q), []).append(pk)
+    keys = list(pts)
+    sky = {
+        (x, y)
+        for (x, y) in keys
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y)) for (x2, y2) in keys
+        )
+    }
+    got = olap_skyline_pareto(spark, SF_SMOKE).collect()
+    assert {(r.price, r.total_qty) for r in got} == sky
+    for r in got:
+        members = pts[(r.price, r.total_qty)]
+        assert r.n_parts == len(members)
+        assert r.first_part == min(members)
+    # the sweep result is price-sorted and the frontier strictly improves
+    for a, b in zip(got, got[1:]):
+        assert a.price < b.price and a.total_qty < b.total_qty
+
+
+# ---------------------------------------------------------------------------
+# operators/frontier.py — Benford digits vs a direct Python census.
+
+
+def test_benford_vs_python(spark):
+    from flink_streaming_gnn_spark.operators.frontier import dq_benford_firstdigit
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    prices = [
+        r.l_extendedprice
+        for r in load_table(spark, SF_SMOKE, "lineitem").select("l_extendedprice").collect()
+    ]
+    counts: dict[int, int] = {}
+    for p in prices:
+        d = int(str(int(math.floor(p)))[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = len(prices)
+    got = dq_benford_firstdigit(spark, SF_SMOKE).collect()
+    assert [r.digit for r in got] == sorted(counts)
+    chi2 = 0.0
+    for r in got:
+        assert r.n_obs == counts[r.digit]
+        e = n * math.log10(1 + 1 / r.digit)
+        assert abs(r.expected_n - round(e, 4)) < 1e-6
+        assert abs(r.chi2_contrib - round((counts[r.digit] - e) ** 2 / e, 6)) < 1e-6
+        chi2 += round((counts[r.digit] - e) ** 2 / e, 6)
+    assert all(abs(r.chi2_total - round(chi2, 6)) < 1e-6 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# operators/frontier.py — JSD vs a direct Python computation, plus the
+# mathematical bounds 0 ≤ JSD ≤ 1 bit.
+
+
+def test_js_divergence_vs_python(spark):
+    from datetime import datetime
+
+    from flink_streaming_gnn_spark.operators.frontier import (
+        JSD_SPLIT,
+        dq_js_divergence,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    split = datetime.fromisoformat(JSD_SPLIT)
+    rows = load_table(spark, SF_SMOKE, "events").select("ts", "event_type").collect()
+    a: dict[str, int] = {}
+    b: dict[str, int] = {}
+    for r in rows:
+        side = a if r.ts < split else b
+        side[r.event_type] = side.get(r.event_type, 0) + 1
+    na, nb = sum(a.values()), sum(b.values())
+    jsd = 0.0
+    for t in set(a) | set(b):
+        p, q = a.get(t, 0) / na, b.get(t, 0) / nb
+        m = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * math.log2(p / m)
+        if q > 0:
+            jsd += 0.5 * q * math.log2(q / m)
+    row = dq_js_divergence(spark, SF_SMOKE).collect()[0]
+    assert (row.n_first_half, row.n_second_half) == (na, nb)
+    assert abs(row.jsd_bits - round(jsd, 6)) < 1e-6
+    assert 0.0 <= row.jsd_bits <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# operators/techind.py — Bollinger bands and RSI vs pandas rolling twins.
+
+
+def test_bollinger_vs_pandas(spark):
+    import pandas as pd
+
+    from flink_streaming_gnn_spark.operators.techind import (
+        BOLL_N,
+        ts_bollinger_bands,
+    )
+
+    daily = _daily_qty(spark)
+    s = pd.Series([q for _, q in daily], dtype="float64")
+    ma = s.rolling(BOLL_N).mean()
+    sd = s.rolling(BOLL_N).std(ddof=1)
+    got = ts_bollinger_bands(spark, SF_SMOKE).collect()
+    assert len(got) == len(daily) - (BOLL_N - 1)
+    for i, r in enumerate(got):
+        j = i + BOLL_N - 1
+        assert r.day.date() == daily[j][0] and r.qty == daily[j][1]
+        assert abs(r.ma - round(ma[j], 4)) < 1e-6
+        assert abs(r.upper_band - round(ma[j] + 2 * sd[j], 4)) < 1e-6
+        assert abs(r.lower_band - round(ma[j] - 2 * sd[j], 4)) < 1e-6
+        want = (
+            "up" if r.qty > r.upper_band
+            else "down" if r.qty < r.lower_band
+            else "in_band"
+        )
+        assert r.breakout == want
+
+
+def test_rsi_vs_python(spark):
+    from flink_streaming_gnn_spark.operators.techind import RSI_N, ts_rsi
+
+    daily = _daily_qty(spark)
+    deltas = [
+        (daily[i][0], daily[i][1], daily[i][1] - daily[i - 1][1])
+        for i in range(1, len(daily))
+    ]
+    got = ts_rsi(spark, SF_SMOKE).collect()
+    assert len(got) == len(deltas) - (RSI_N - 1)
+    for i, r in enumerate(got):
+        j = i + RSI_N - 1
+        day, qty, delta = deltas[j]
+        assert (r.day.date(), r.qty, r.delta) == (day, qty, delta)
+        win = [d for _, _, d in deltas[j - RSI_N + 1 : j + 1]]
+        sg = sum(d for d in win if d > 0)
+        sl = sum(-d for d in win if d < 0)
+        want = 50.0 if sg + sl == 0 else round(100.0 * sg / (sg + sl), 6)
+        assert abs(r.rsi - want) < 1e-6
+        assert 0.0 <= r.rsi <= 100.0
+
+
+def test_round5c_keys_registered():
+    from flink_streaming_gnn_spark import registry
+
+    q = registry.all_queries()
+    o = registry.all_oracle_sql()
+    for k in (
+        "olap_skyline_pareto",
+        "dq_benford_firstdigit",
+        "dq_js_divergence",
+        "ts_bollinger_bands",
+        "ts_rsi",
+    ):
+        assert k in q and k in o
+
+
+# ---------------------------------------------------------------------------
+# llm/dsir.py — DSIR importance weights vs a from-scratch Python twin
+# (hashed-feature LMs with add-1 smoothing, md5-nibble bucketing).
+
+
+def test_dsir_vs_python(spark):
+    import hashlib
+    import math as m
+    from collections import Counter, defaultdict
+
+    from flink_streaming_gnn_spark.llm.dsir import (
+        N_BUCKETS,
+        TARGET_LANG,
+        TOP_K,
+        mix_dsir_importance,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    def bucket(tok: str) -> int:
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        return (int(hx[6], 16) * 16 + int(hx[7], 16)) % N_BUCKETS
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    c_t, c_r = Counter(), Counter()
+    per_doc = defaultdict(Counter)
+    for d in docs:
+        for tok in d.text.split(" "):
+            if not tok:
+                continue
+            b = bucket(tok)
+            if d.lang == TARGET_LANG:
+                c_t[b] += 1
+            else:
+                c_r[b] += 1
+                per_doc[d.doc_id][b] += 1
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    want = {}
+    for doc_id, buckets in per_doc.items():
+        w = sum(
+            n
+            * (
+                m.log((c_t[b] + 1.0) / (n_t + N_BUCKETS))
+                - m.log((c_r[b] + 1.0) / (n_r + N_BUCKETS))
+            )
+            for b, n in buckets.items()
+        )
+        want[doc_id] = (sum(buckets.values()), w)
+    top = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:TOP_K]
+    got = mix_dsir_importance(spark, SF_SMOKE).collect()
+    assert len(got) == min(TOP_K, len(want))
+    assert [r.doc_id for r in got] == [doc_id for doc_id, _ in top]
+    for r in got:
+        n_tokens, w = want[r.doc_id]
+        assert r.n_tokens == n_tokens
+        assert abs(r.dsir_weight - round(w, 6)) < 1e-6
+    # weights must separate: a weight exists for every non-target doc
+    assert len(want) == sum(1 for d in docs if d.lang != TARGET_LANG)
+
+
+# ---------------------------------------------------------------------------
+# llm/stump.py — decision stump vs an exhaustive numpy split search.
+
+
+def test_decision_stump_vs_numpy(spark):
+    import numpy as np
+
+    from flink_streaming_gnn_spark.llm.stump import N_BINS, ml_decision_stump
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").select(
+        "embedding", "label"
+    ).collect()
+    x = np.array([float(r.embedding[0]) for r in rows])
+    y = np.array([r.label for r in rows])
+    lo, hi = x.min(), x.max()
+    bins = np.minimum(
+        np.floor((x - lo) / (hi - lo) * N_BINS).astype(int), N_BINS - 1
+    )
+    best = None
+    for b in range(N_BINS - 1):
+        left = y[bins <= b]
+        right = y[bins > b]
+        if len(left) == 0 or len(right) == 0:
+            continue
+
+        def side(arr):
+            counts = np.bincount(arr, minlength=10)
+            return len(arr) - (counts.astype(float) ** 2).sum() / len(arr)
+
+        g = (side(left) + side(right)) / len(y)
+        if best is None or g < best[0] - 1e-12:
+            counts_l = np.bincount(left, minlength=10)
+            counts_r = np.bincount(right, minlength=10)
+            best = (
+                g,
+                b,
+                len(left),
+                len(right),
+                int(np.argmax(counts_l)),
+                int(np.argmax(counts_r)),
+            )
+    g, b, n_left, n_right, lmaj, rmaj = best
+    row = ml_decision_stump(spark, SF_SMOKE).collect()[0]
+    assert row.split_bin == b
+    assert (row.n_left, row.n_right) == (n_left, n_right)
+    assert abs(row.weighted_gini - round(g, 6)) < 1e-6
+    assert (row.left_majority, row.right_majority) == (lmaj, rmaj)
+    assert abs(row.threshold - round(lo + (b + 1) * (hi - lo) / N_BINS, 6)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# sources/binaryfiles.py — the binary round-trip must preserve bytes.
+
+
+def test_binaryfile_roundtrip_checksums(spark):
+    import hashlib
+
+    from flink_streaming_gnn_spark.sources.binaryfiles import (
+        N_FILES,
+        source_binaryfile_ingest,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    want = {
+        r.doc_id: (len(r.text.encode()), hashlib.md5(r.text.encode()).hexdigest())
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(f"doc_id < {N_FILES}")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = source_binaryfile_ingest(spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n_bytes, md5 = want[r.doc_id]
+        assert (r.n_bytes, r.content_md5) == (n_bytes, md5)
+
+
+# ---------------------------------------------------------------------------
+# operators/behavior.py — position attribution vs a sequential Python
+# journey replay; conservation: every purchase's value is fully credited.
+
+
+def test_attribution_position_vs_python(spark):
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.operators.behavior import (
+        olap_attribution_position,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    want_n: dict[str, int] = defaultdict(int)
+    want_v: dict[str, float] = defaultdict(float)
+    total_purchase = 0.0
+    for hist in by_user.values():
+        hist.sort(key=lambda r: (r.ts, r.event_id))
+        journey: list = []
+        for r in hist:
+            if r.event_type != "purchase":
+                journey.append(r.event_type)
+                continue
+            total_purchase += r.value
+            k = len(journey)
+            if k == 0:
+                want_n["direct"] += 1
+                want_v["direct"] += r.value
+            elif k == 1:
+                want_n[journey[0]] += 1
+                want_v[journey[0]] += r.value
+            elif k == 2:
+                for c in journey:
+                    want_n[c] += 1
+                    want_v[c] += r.value / 2
+            else:
+                for i, c in enumerate(journey):
+                    want_n[c] += 1
+                    if i in (0, k - 1):
+                        want_v[c] += 0.4 * r.value
+                    else:
+                        want_v[c] += 0.2 * r.value / (k - 2)
+            journey = []
+    got = {r.channel: r for r in olap_attribution_position(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want_n)
+    for c in want_n:
+        assert got[c].n_credited == want_n[c]
+        assert abs(got[c].attributed_value - round(want_v[c], 2)) < 1e-6
+    assert abs(sum(want_v.values()) - total_purchase) < 1e-6  # conservation
+
+
+def test_round5c_more_keys_registered():
+    from flink_streaming_gnn_spark import registry
+
+    q = registry.all_queries()
+    o = registry.all_oracle_sql()
+    for k in (
+        "mix_dsir_importance",
+        "ml_decision_stump",
+        "source_binaryfile_ingest",
+        "olap_attribution_position",
+    ):
+        assert k in q and k in o

@@ -496,6 +496,57 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"CartesianProduct", r"EvalPython", r"InPandas"],
     ),
+    # skyline: distributed divide-and-conquer — the bucket-local sweep is a
+    # PARTITIONED window (hashpartitioning on _bkt); the only
+    # single-partition work is the final sweep over the tiny candidate set.
+    # No join beyond the part↔lineitem equi-join, no Python.
+    "olap_skyline_pareto": (
+        [r"Window", r"hashpartitioning\(_bkt"],
+        [r"EvalPython", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # Benford: one hash agg to 9 rows; windows run on the 9-row frame
+    "dq_benford_firstdigit": (
+        [r"HashAggregate", r"partial_"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
+    # JSD: both half-distributions in ONE conditional-count pass
+    "dq_js_divergence": (
+        [r"HashAggregate", r"partial_"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
+    # Bollinger/RSI: one distributed daily agg; rolling windows ride the
+    # calendar-bounded series (single partition by design, |days| rows)
+    "ts_bollinger_bands": (
+        [r"HashAggregate", r"Window"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
+    "ts_rsi": (
+        [r"HashAggregate", r"Window"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
+    # DSIR: hashed features bound the LM to 64 rows — that join MUST be
+    # broadcast; corpus passes are hash aggs, no Python anywhere
+    "mix_dsir_importance": (
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"SortMergeJoin", r"EvalPython", r"CartesianProduct"],
+    ),
+    # decision stump: histogram split search — one distributed hash agg
+    # to ≤32 bins (broadcast 1-row bounds), windows on the bin frame only
+    "ml_decision_stump": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"SortMergeJoin", r"EvalPython", r"InPandas"],
+    ),
+    # binaryFile ingest: a real DSv2 batch scan of the blob directory
+    "source_binaryfile_ingest": (
+        [r"Scan binaryFile"],
+        [r"Join", r"EvalPython"],
+    ),
+    # position attribution: journey segmentation is windows over ONE
+    # user_id exchange + a channel-bounded agg — join-free by design
+    "olap_attribution_position": (
+        [r"Window", r"HashAggregate"],
+        [r"Join", r"EvalPython", r"CartesianProduct"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
