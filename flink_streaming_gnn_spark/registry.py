@@ -145,6 +145,8 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.dsir",
     "flink_streaming_gnn_spark.llm.stump",
     "flink_streaming_gnn_spark.sources.binaryfiles",
+    "flink_streaming_gnn_spark.operators.journey",
+    "flink_streaming_gnn_spark.llm.mmr",
 )
 
 

@@ -402,3 +402,119 @@ def test_round5c_more_keys_registered():
         "olap_attribution_position",
     ):
         assert k in q and k in o
+
+
+# ---------------------------------------------------------------------------
+# operators/journey.py — funnel time-to-convert vs a numpy twin
+# (numpy linear-interpolation percentile == Spark exact percentile ==
+# DuckDB quantile_cont).
+
+
+def test_funnel_ttc_vs_numpy(spark):
+    from collections import defaultdict
+
+    import numpy as np
+
+    from flink_streaming_gnn_spark.operators.journey import (
+        STAGES,
+        funnel_time_to_convert,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    firsts: dict = defaultdict(dict)
+    for r in rows:
+        cur = firsts[r.user_id].get(r.event_type)
+        if cur is None or r.ts < cur:
+            firsts[r.user_id][r.event_type] = r.ts
+    want: dict = {}
+    for a, b in zip(STAGES, STAGES[1:]):
+        deltas = [
+            (u[b] - u[a]).total_seconds()
+            for u in firsts.values()
+            if a in u and b in u and u[b] > u[a]
+        ]
+        if deltas:
+            want[f"{a}->{b}"] = (
+                len(deltas),
+                float(np.percentile(deltas, 50)),
+                float(np.percentile(deltas, 90)),
+                float(np.mean(deltas)),
+            )
+    got = {r.pair: r for r in funnel_time_to_convert(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for pair, (n, med, p90, mean) in want.items():
+        r = got[pair]
+        assert r.n_users == n
+        assert abs(r.median_sec - round(med, 6)) < 1e-5
+        assert abs(r.p90_sec - round(p90, 6)) < 1e-5
+        assert abs(r.mean_sec - round(mean, 6)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# llm/mmr.py — MMR diversification vs an independent numpy greedy over
+# raw parquet (no Spark in the twin), plus set invariants.
+
+
+def test_mmr_vs_numpy_greedy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from flink_streaming_gnn_spark.llm.mmr import (
+        K,
+        LAM,
+        POOL,
+        QUERY_ID,
+        simsearch_mmr_diversify,
+    )
+    from flink_streaming_gnn_spark.sources.tables import table_path
+
+    pdf = pd.read_parquet(table_path(SF_SMOKE, "embeddings"))
+    vecs = {
+        int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+        for r in pdf.itertuples()
+    }
+    q = vecs[QUERY_ID]
+
+    def cos6(a, b):
+        return round(float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b)), 6)
+
+    rel = {i: cos6(v, q) for i, v in vecs.items() if i != QUERY_ID}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:POOL]
+    chosen: list[int] = []
+    want = []
+    remaining = sorted(pool)
+    for rank in range(1, K + 1):
+        scores = {
+            c: rel[c]
+            if rank == 1
+            else LAM * rel[c]
+            - (1 - LAM) * max(cos6(vecs[c], vecs[s]) for s in chosen)
+            for c in remaining
+        }
+        c = min(scores, key=lambda i: (-scores[i], i))
+        want.append((rank, c, rel[c], round(scores[c], 6)))
+        chosen.append(c)
+        remaining.remove(c)
+    got = simsearch_mmr_diversify(spark, SF_SMOKE).orderBy("rank").collect()
+    assert [(r.rank, r.vec_id) for r in got] == [(w[0], w[1]) for w in want]
+    for r, w in zip(got, want):
+        assert abs(r.relevance - w[2]) < 1e-9
+        # display rounding may differ by one 6-dp ulp when the raw score
+        # lands exactly on a .5 decimal boundary (the oracle hash pins the
+        # engine-exact value; the twin only checks the trajectory)
+        assert abs(r.mmr_score - w[3]) < 1.1e-6
+    # invariants: distinct picks; first pick is the most relevant candidate
+    assert len({r.vec_id for r in got}) == K
+    assert got[0].relevance == max(rel[i] for i in pool)
+
+
+def test_round5c_journey_mmr_registered():
+    from flink_streaming_gnn_spark import registry
+
+    q = registry.all_queries()
+    o = registry.all_oracle_sql()
+    for k in ("funnel_time_to_convert", "simsearch_mmr_diversify"):
+        assert k in q and k in o

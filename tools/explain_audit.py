@@ -547,6 +547,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"HashAggregate"],
         [r"Join", r"EvalPython", r"CartesianProduct"],
     ),
+    # funnel time-to-convert: per-user first-touch row in ONE conditional
+    # agg, then the stack/explode + stage-bounded percentile agg — no
+    # self-join per stage pair
+    "funnel_time_to_convert": (
+        [r"HashAggregate", r"Generate explode"],
+        [r"Join", r"EvalPython", r"CartesianProduct"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
