@@ -392,7 +392,66 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) fingerprints over the synthetic
+    PPM camera — the image analogue of ``dedup_simhash``: decode each
+    asset with the REAL ``ppm_decode`` parser, sample an 8×8 integer
+    luma grid (pixel (⌊i·h/8⌋, ⌊j·w/8⌋), pure integer indexing — no
+    resampling kernel to disagree on), and set bit (i,j) iff the sample
+    is brighter than the grid average. The mean comparison is kept in
+    integers (64·L > ΣL with L = 299R+587G+114B) so the 64-bit
+    fingerprint is EXACT — the oracle recomputes every bit from the
+    pixel formula and a parser/stride/channel bug flips the hash.
+
+    This is the standard near-duplicate *image* dedup primitive: at
+    100 TB the emitted fingerprints feed the same banded-Hamming
+    candidate join as ``dedup_simhash``/``simsearch_binary_hamming``.
+    Plan: one Arrow-batched ``mapInPandas``, no shuffle, one row per
+    asset."""
+    import types
+
+    parse_ppm = types.FunctionType(
+        ppm_decode.__code__, {"__builtins__": __builtins__}, "parse_ppm"
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = ((doc_id + 3 * y + 5 * x + 11 * c) % 256).astype(np.uint8)
+                blob = b"P6\n# synthetic camera\n%d %d\n255\n" % (w, h) + px.tobytes()
+                img = parse_ppm(blob).astype(np.int64)
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                grid = img[np.ix_(ys, xs)]
+                luma = 299 * grid[:, :, 0] + 587 * grid[:, :, 1] + 114 * grid[:, :, 2]
+                total = int(luma.sum())
+                bits = (64 * luma > total).astype(int).ravel()  # row-major
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "ahash_bits": "".join(map(str, bits)),
+                        "n_set_bits": int(bits.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        hash_batches,
+        "doc_id long, width long, height long, ahash_bits string, n_set_bits long",
+    )
+
+
 QUERIES = {
+    "multimodal_image_ahash": multimodal_image_ahash,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_image_tiles": multimodal_image_tiles,
@@ -404,6 +463,40 @@ QUERIES = {
 }
 
 ORACLE = {
+    "multimodal_image_ahash": """
+        WITH meta AS (
+            SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+            FROM documents
+        ),
+        grid AS (
+            SELECT doc_id, w, h, i.i AS i, j.j AS j,
+                   (i.i * h) // 8 AS ys,
+                   (j.j * w) // 8 AS xs
+            FROM meta,
+                 LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i,
+                 LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j
+        ),
+        luma AS (
+            SELECT doc_id, w, h, i, j,
+                   299 * ((doc_id + 3*ys + 5*xs) % 256)
+                 + 587 * ((doc_id + 3*ys + 5*xs + 11) % 256)
+                 + 114 * ((doc_id + 3*ys + 5*xs + 22) % 256) AS l
+            FROM grid
+        ),
+        bits AS (
+            SELECT doc_id, w, h, i, j,
+                   CASE WHEN 64 * l > sum(l) OVER (PARTITION BY doc_id)
+                        THEN 1 ELSE 0 END AS bit
+            FROM luma
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               string_agg(CAST(bit AS VARCHAR), '' ORDER BY i, j) AS ahash_bits,
+               CAST(sum(bit) AS BIGINT) AS n_set_bits
+        FROM bits
+        GROUP BY doc_id, w, h
+    """,
     # recompute the synthetic camera's statistics from the pixel formula —
     # any decoder bug (header parse, stride, channel order) breaks the hash
     "multimodal_ppm_decode": """

@@ -518,3 +518,33 @@ def test_round5c_journey_mmr_registered():
     o = registry.all_oracle_sql()
     for k in ("funnel_time_to_convert", "simsearch_mmr_diversify"):
         assert k in q and k in o
+
+
+# ---------------------------------------------------------------------------
+# llm/multimodal.py — aHash fingerprints vs a loop-level Python twin
+# (independent of the numpy grid indexing used by the implementation).
+
+
+def test_image_ahash_vs_python(spark):
+    from flink_streaming_gnn_spark.llm.multimodal import multimodal_image_ahash
+
+    got = {r.doc_id: r for r in multimodal_image_ahash(spark, SF_SMOKE).collect()}
+    assert len(got) >= 1
+    for doc_id in list(got)[:50]:
+        w, h = 8 + doc_id % 9, 8 + doc_id % 7
+        lumas = []
+        for i in range(8):
+            for j in range(8):
+                ys, xs = (i * h) // 8, (j * w) // 8
+                r_ = (doc_id + 3 * ys + 5 * xs) % 256
+                g_ = (doc_id + 3 * ys + 5 * xs + 11) % 256
+                b_ = (doc_id + 3 * ys + 5 * xs + 22) % 256
+                lumas.append(299 * r_ + 587 * g_ + 114 * b_)
+        total = sum(lumas)
+        bits = "".join("1" if 64 * l > total else "0" for l in lumas)
+        r = got[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.ahash_bits == bits
+        assert r.n_set_bits == bits.count("1")
+    # fingerprints discriminate: not all hashes identical
+    assert len({r.ahash_bits for r in got.values()}) > 1
