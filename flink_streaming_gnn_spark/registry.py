@@ -147,6 +147,8 @@ _MODULES = (
     "flink_streaming_gnn_spark.sources.binaryfiles",
     "flink_streaming_gnn_spark.operators.journey",
     "flink_streaming_gnn_spark.llm.mmr",
+    "flink_streaming_gnn_spark.operators.mlr",
+    "flink_streaming_gnn_spark.llm.matryoshka",
 )
 
 

@@ -548,3 +548,110 @@ def test_image_ahash_vs_python(spark):
         assert r.n_set_bits == bits.count("1")
     # fingerprints discriminate: not all hashes identical
     assert len({r.ahash_bits for r in got.values()}) > 1
+
+
+# ---------------------------------------------------------------------------
+# operators/mlr.py — closed-form 2-feature OLS vs numpy lstsq.
+
+
+def test_multiple_regression_vs_numpy(spark):
+    from collections import defaultdict
+
+    import numpy as np
+
+    from flink_streaming_gnn_spark.operators.mlr import agg_multiple_regression
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    acc = defaultdict(lambda: [0.0, 0.0, 0.0])
+    for r in rows:
+        a = acc[r.l_orderkey]
+        a[0] += 1
+        a[1] += r.l_quantity
+        a[2] += r.l_extendedprice * (1 - r.l_discount)
+    X = np.array([[1.0, a[0], a[1]] for a in acc.values()])
+    y = np.array([a[2] for a in acc.values()])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    r = agg_multiple_regression(spark, SF_SMOKE).collect()[0]
+    assert r.n_orders == len(acc)
+    assert abs(r.b0 - beta[0]) < 1e-3  # lstsq solves via SVD; closed form
+    assert abs(r.b1 - beta[1]) < 1e-5  # agrees to numerical conditioning
+    assert abs(r.b2 - beta[2]) < 1e-5
+    assert abs(r.r2 - (1 - ss_res / ss_tot)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# operators/mlr.py — path mining vs a sequential Python replay.
+
+
+def test_path_mining_vs_python(spark):
+    from collections import Counter, defaultdict
+
+    from flink_streaming_gnn_spark.operators.mlr import (
+        PATH_TOP_K,
+        event_path_mining,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    counts: Counter = Counter()
+    for hist in by_user.values():
+        hist.sort(key=lambda r: (r.ts, r.event_id))
+        types = [r.event_type for r in hist]
+        for i in range(2, len(types)):
+            counts[f"{types[i-2]}>{types[i-1]}>{types[i]}"] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOP_K]
+    got = [(r.path, r.n) for r in event_path_mining(spark, SF_SMOKE).collect()]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# llm/matryoshka.py — truncation recall vs a numpy brute-force twin.
+
+
+def test_matryoshka_recall_vs_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from flink_streaming_gnn_spark.llm.matryoshka import (
+        K,
+        N_PROBES,
+        TRUNC_DIMS,
+        emb_matryoshka_recall,
+    )
+    from flink_streaming_gnn_spark.sources.tables import table_path
+
+    pdf = pd.read_parquet(table_path(SF_SMOKE, "embeddings"))
+    vecs = {
+        int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+        for r in pdf.itertuples()
+    }
+
+    def topk(q, dims):
+        scores = []
+        for i, v in vecs.items():
+            if i == q:
+                continue
+            a, b = vecs[q][:dims], v[:dims]
+            c = round(float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b)), 6)
+            scores.append((-c, i))
+        return {i for _, i in sorted(scores)[:K]}
+
+    got = {r.probe_id: r for r in emb_matryoshka_recall(spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(N_PROBES))
+    for pid in range(0, N_PROBES, 7):  # spot-check every 7th probe
+        want = len(topk(pid, 64) & topk(pid, TRUNC_DIMS))
+        assert got[pid].n_common == want
+        assert abs(got[pid].recall_at_k - want / K) < 1e-12
+    # truncation must lose SOME neighbors somewhere (non-trivial metric)
+    assert any(r.n_common < K for r in got.values())

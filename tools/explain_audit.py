@@ -554,6 +554,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Generate explode"],
         [r"Join", r"EvalPython", r"CartesianProduct"],
     ),
+    # multiple regression: all nine normal-equation moments in ONE pass
+    # (partial aggregation map-side), closed-form solve is scalar math
+    "agg_multiple_regression": (
+        [r"HashAggregate", r"partial_"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
+    # path mining: two lag taps share ONE user-window sort; result agg
+    # bounded by |event_type|^3 with the top-k rank pushed down
+    "event_path_mining": (
+        [r"Window", r"HashAggregate"],
+        [r"Join", r"EvalPython", r"CartesianProduct"],
+    ),
+    # matryoshka recall: probes broadcast, BOTH cosines in one corpus
+    # pass — a second scan for the truncated tier would double the read
+    "emb_matryoshka_recall": (
+        [r"BroadcastNestedLoopJoin", r"Window"],
+        [r"EvalPython", r"SortMergeJoin"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
