@@ -234,8 +234,12 @@ _PRIORITY_KEYS_R4 = (
 # tools/check_keys.py). The driver records the FIRST 50, so the tail past
 # position 50 (22 keys) rolls into the round-6 window, joined by the 13
 # round-5 additions (attribution, Theil–Sen, temporal wedge, butterflies,
-# containment, unigram ×2, KS drift, CEP absence, TTL/SCD2/CC streams)
-# for a 35-key round-6 remainder — one final window closes attestation.
+# containment, unigram ×2, KS drift, CEP absence, TTL/SCD2/CC streams,
+# then the 5c batch: skyline, Benford, JSD, Bollinger/RSI, DSIR, stump,
+# binaryFile, position attribution, funnel TTC, MMR, aHash, multiple
+# regression, path mining, Matryoshka — 28 total) for a 50-key round-6
+# remainder: at 300 keys, ONE final full window closes attestation
+# (200 attested r1–r4 + 50 this round + 50 in round 6).
 # The three keys with no DuckDB oracle (multimodal_decode_stub,
 # agg_hll_sketch_rollup, agg_approx_quantile) are pinned at the very end
 # so no round-5 window slot is spent on a rows-only row.
