@@ -127,3 +127,145 @@ ORACLE_SQL = f"""
 
 QUERIES = {"emb_matryoshka_recall": emb_matryoshka_recall}
 ORACLE = {"emb_matryoshka_recall": ORACLE_SQL}
+
+
+def dedup_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE groups from perceptual hashes — the dedup
+    stage the ``multimodal_image_ahash`` fingerprints exist to feed,
+    completing the image pipeline (decode → fingerprint → banded
+    candidate join → exact verify), the ``dedup_simhash`` discipline
+    applied to the image modality.
+
+    GROUP-LEVEL pairs, not doc-level (the clones² lesson, measured):
+    a replicated corpus holds many exact-hash clones, and doc-level
+    output is Θ(clones²) — the ×10 bench corpus gives 8.2e10 banded
+    candidates, an answer that explodes before any engine touches it.
+    So identical hashes collapse to a (min-doc exemplar, member count)
+    group FIRST — the ``dedup_cluster_canonical`` report shape — and
+    the banded join runs over DISTINCT hash values only, whose count is
+    bounded by image diversity, not corpus size.
+
+    Zero-miss candidate generation by pigeonhole: the 64-bit hash splits
+    into 4 bands of 16 bits; ``HAM_T`` (= 2) bit flips touch at most 2
+    bands, so every qualifying pair of distinct hashes shares at least
+    one identical band — the equi-join on (band_idx, band) provably
+    generates all of them, and only candidates pay the 64-position
+    exact verify. All integer arithmetic: no float boundary exists
+    anywhere in this key.
+    """
+    from flink_streaming_gnn_spark.llm.multimodal import multimodal_image_ahash
+
+    # distinct-hash groups; referenced three times below (band explode +
+    # both verify sides) — localCheckpoint pins ONE materialization of
+    # the Python hashing pass
+    groups = (
+        multimodal_image_ahash(spark, sf_dir)
+        .groupBy("ahash_bits")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .localCheckpoint()
+    )
+    bands = groups.select(
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.substring("ahash_bits", 1 + 16 * i, 16).alias("band"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("rep", "b.band_idx", "b.band")
+    cands = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.rep") < F.col("y.rep")),
+        )
+        .select(F.col("x.rep").alias("rep_a"), F.col("y.rep").alias("rep_b"))
+        .distinct()
+    )
+    ga = groups.select(
+        F.col("rep").alias("rep_a"),
+        F.col("ahash_bits").alias("ha"),
+        F.col("n_docs").alias("n_docs_a"),
+    )
+    gb = groups.select(
+        F.col("rep").alias("rep_b"),
+        F.col("ahash_bits").alias("hb"),
+        F.col("n_docs").alias("n_docs_b"),
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) ->"
+        " acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"
+    ).cast("long")
+    return (
+        cands.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAM_T)
+        .select("rep_a", "rep_b", "n_docs_a", "n_docs_b", "hamming")
+        .orderBy("rep_a", "rep_b")
+    )
+
+
+HAM_T = 2
+
+# the oracle verifies ALL pairs (no banding) — a cross-formulation proof
+# that the 4-band pigeonhole candidate join misses nothing at HAM_T < 4
+_AHASH_BITS_CTE = """
+    meta AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        FROM documents
+    ),
+    grid AS (
+        SELECT doc_id, i.i AS i, j.j AS j,
+               (i.i * h) // 8 AS ys, (j.j * w) // 8 AS xs
+        FROM meta,
+             LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i,
+             LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j
+    ),
+    luma AS (
+        SELECT doc_id, i, j,
+               299 * ((doc_id + 3*ys + 5*xs) % 256)
+             + 587 * ((doc_id + 3*ys + 5*xs + 11) % 256)
+             + 114 * ((doc_id + 3*ys + 5*xs + 22) % 256) AS l
+        FROM grid
+    ),
+    bits AS (
+        SELECT doc_id, i, j,
+               CASE WHEN 64 * l > sum(l) OVER (PARTITION BY doc_id)
+                    THEN '1' ELSE '0' END AS bit
+        FROM luma
+    ),
+    hashes AS MATERIALIZED (
+        SELECT doc_id, string_agg(bit, '' ORDER BY i, j) AS bits
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+QUERIES["dedup_image_hamming_pairs"] = dedup_image_hamming_pairs
+ORACLE["dedup_image_hamming_pairs"] = f"""
+    WITH {_AHASH_BITS_CTE},
+    groups AS MATERIALIZED (
+        SELECT bits, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n_docs
+        FROM hashes GROUP BY bits
+    )
+    SELECT a.rep AS rep_a, b.rep AS rep_b,
+           a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+           CAST(list_sum([CASE WHEN substr(a.bits, i, 1) = substr(b.bits, i, 1)
+                               THEN 0 ELSE 1 END
+                          for i in range(1, 65)]) AS BIGINT) AS hamming
+    FROM groups a JOIN groups b ON a.rep < b.rep
+    WHERE list_sum([CASE WHEN substr(a.bits, i, 1) = substr(b.bits, i, 1)
+                         THEN 0 ELSE 1 END
+                    for i in range(1, 65)]) <= {HAM_T}
+    ORDER BY rep_a, rep_b
+"""

@@ -655,3 +655,39 @@ def test_matryoshka_recall_vs_numpy(spark):
         assert abs(got[pid].recall_at_k - want / K) < 1e-12
     # truncation must lose SOME neighbors somewhere (non-trivial metric)
     assert any(r.n_common < K for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# llm/matryoshka.py — image Hamming group pairs vs a Python brute force
+# over all distinct hashes (no banding in the twin: zero-miss check).
+
+
+def test_image_hamming_groups_vs_python(spark):
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.llm.matryoshka import (
+        HAM_T,
+        dedup_image_hamming_pairs,
+    )
+    from flink_streaming_gnn_spark.llm.multimodal import multimodal_image_ahash
+
+    rows = multimodal_image_ahash(spark, SF_SMOKE).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.ahash_bits].append(r.doc_id)
+    reps = {bits: (min(ids), len(ids)) for bits, ids in groups.items()}
+    want = set()
+    items = list(reps.items())
+    for i, (ba, (ra, na)) in enumerate(items):
+        for bb, (rb, nb) in items[i + 1 :]:
+            d = sum(1 for x, y in zip(ba, bb) if x != y)
+            if d <= HAM_T:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                nlo, nhi = (na, nb) if ra < rb else (nb, na)
+                want.add((lo, hi, nlo, nhi, d))
+    got = {
+        (r.rep_a, r.rep_b, r.n_docs_a, r.n_docs_b, r.hamming)
+        for r in dedup_image_hamming_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert all(1 <= h <= HAM_T for *_, h in got)  # distinct hashes: never 0

@@ -572,6 +572,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastNestedLoopJoin", r"Window"],
         [r"EvalPython", r"SortMergeJoin"],
     ),
+    # image hamming groups: the banded candidate join must be an
+    # EQUI-join on (band_idx, band) — a nested-loop means the pigeonhole
+    # rewrite regressed (hashing itself is the one sanctioned InPandas)
+    "dedup_image_hamming_pairs": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
