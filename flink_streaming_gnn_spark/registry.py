@@ -149,6 +149,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.mmr",
     "flink_streaming_gnn_spark.operators.mlr",
     "flink_streaming_gnn_spark.llm.matryoshka",
+    "flink_streaming_gnn_spark.operators.pacf",
 )
 
 

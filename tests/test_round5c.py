@@ -691,3 +691,40 @@ def test_image_hamming_groups_vs_python(spark):
     }
     assert got == want
     assert all(1 <= h <= HAM_T for *_, h in got)  # distinct hashes: never 0
+
+
+# ---------------------------------------------------------------------------
+# operators/pacf.py — Durbin–Levinson PACF vs a numeric numpy recursion
+# (the implementation is symbolic; the twin recurses on values).
+
+
+def test_pacf_vs_numpy_recursion(spark):
+    import numpy as np
+
+    from flink_streaming_gnn_spark.operators.pacf import (
+        K_LAGS,
+        ts_pacf_durbin_levinson,
+    )
+
+    daily = _daily_qty(spark)
+    x = np.array([q for _, q in daily], dtype=np.float64)
+    d = x - x.mean()
+    c0 = float(d @ d)
+    r = [float(d[k:] @ d[:-k]) / c0 for k in range(1, K_LAGS + 1)]
+    phi = {(1, 1): r[0]}
+    want = [r[0]]
+    for k in range(2, K_LAGS + 1):
+        num = r[k - 1] - sum(phi[(k - 1, j)] * r[k - j - 1] for j in range(1, k))
+        den = 1 - sum(phi[(k - 1, j)] * r[j - 1] for j in range(1, k))
+        kk = num / den
+        phi[(k, k)] = kk
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - kk * phi[(k - 1, k - j)]
+        want.append(kk)
+    got = ts_pacf_durbin_levinson(spark, SF_SMOKE).orderBy("lag").collect()
+    assert [g.lag for g in got] == list(range(1, K_LAGS + 1))
+    for g, r_k, p_k in zip(got, r, want):
+        assert abs(g.acf - r_k) < 1e-5
+        assert abs(g.pacf - p_k) < 1e-5
+    # PACF lag 1 must equal ACF lag 1 by definition
+    assert abs(got[0].acf - got[0].pacf) < 1e-12

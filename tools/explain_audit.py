@@ -579,6 +579,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # PACF: one corpus hash agg to the daily series; K lag taps share
+    # one window sort; the recursion is scalar math on a 1-row frame
+    "ts_pacf_durbin_levinson": (
+        [r"HashAggregate", r"Window"],
+        [r"EvalPython", r"InPandas", r"CartesianProduct"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
