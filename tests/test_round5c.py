@@ -728,3 +728,32 @@ def test_pacf_vs_numpy_recursion(spark):
         assert abs(g.pacf - p_k) < 1e-5
     # PACF lag 1 must equal ACF lag 1 by definition
     assert abs(got[0].acf - got[0].pacf) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# graph/motifs.py — FFL / 3-cycle census vs the adjacency-matrix
+# identities: FFL = sum((A @ A) * A), cycles = trace(A^3) / 3.
+
+
+def test_motif_census_vs_adjacency_matrix(spark):
+    import numpy as np
+
+    from flink_streaming_gnn_spark.graph.edges import derive_vertex_embeddings
+    from flink_streaming_gnn_spark.graph.motifs import graph_motif_ffl_cycle
+
+    edges = {
+        (r.src_v, r.dst_v)
+        for r in derive_vertex_embeddings(spark, SF_SMOKE).collect()
+        if r.src_v != r.dst_v
+    }
+    n = max(max(a, b) for a, b in edges) + 1
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in edges:
+        A[a, b] = 1
+    A2 = A @ A
+    want_ffl = int((A2 * A).sum())
+    want_cyc = int(np.trace(A2 @ A)) // 3
+    r = graph_motif_ffl_cycle(spark, SF_SMOKE).collect()[0]
+    assert r.n_edges == len(edges)
+    assert r.n_ffl == want_ffl
+    assert r.n_cycle == want_cyc

@@ -585,6 +585,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window"],
         [r"EvalPython", r"InPandas", r"CartesianProduct"],
     ),
+    # motif census: wedge closure must be EQUI-joins on vertex ids over
+    # the deduped edge list — no nested loop, no Python
+    "graph_motif_ffl_cycle": (
+        [r"HashAggregate"],
+        [r"EvalPython", r"InPandas", r"CartesianProduct"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
