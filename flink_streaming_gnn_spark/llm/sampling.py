@@ -143,3 +143,77 @@ ORACLE = {
         ORDER BY doc_id, fp
     """,
 }
+
+
+ARES_K = 25  # global sample size
+
+
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis A-ES
+    (Inf. Proc. Letters 2006): each item draws u ~ U(0,1) and keeps key
+    ln(u)/w; the top-K keys are a weighted random sample where inclusion
+    probability tracks the weight — here weight = n_chars, the "sample
+    long documents proportionally more" curation knob next to the
+    unweighted ``sample_priority_hash``.
+
+    Deterministic, engine-portable randomness: u derives from md5 nibbles
+    (the repo-wide hash discipline), so both engines draw the same u.
+    Keys are maximized as ln(u)/w (monotone in u^(1/w); u < 1 makes the
+    key negative and larger-w keys closer to 0). The key is ROUNDED to
+    12 dp before ranking: ln() is not bit-specified across libms, so the
+    rounding collapses last-ulp divergence; genuinely tied keys break on
+    doc_id. One map pass + one GLOBAL top-K via orderBy().limit() —
+    Spark plans that as TakeOrderedAndProject (each task keeps its own
+    K, one K-row merge at the driver; WindowGroupLimit only fires on
+    PARTITIONED windows, so the rank-filter shape of
+    ``sample_priority_hash`` would single-reduce a global sample —
+    measured 46.9 s vs 1.5 s at the ×10 probe). The rank column is
+    derived AFTER the limit, a window over K rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        # u in (0,1]: 8 md5 nibbles → (v+1) / 2^32
+        (
+            (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+             .cast("double") + 1.0)
+            / F.lit(float(2**32))
+        ).alias("u"),
+    )
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log("u") / F.col("n_chars"), 12).alias("ares_key"),
+    )
+    top = keyed.orderBy(F.col("ares_key").desc(), "doc_id").limit(ARES_K)
+    w = Window.orderBy(F.col("ares_key").desc(), "doc_id")  # K rows only
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).orderBy("rk")
+
+
+QUERIES["sample_weighted_ares"] = sample_weighted_ares
+ORACLE["sample_weighted_ares"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(
+                   ln(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456.0
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216.0
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576.0
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536.0
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096.0
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256.0
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16.0
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+                     + 1.0) / 4294967296.0)
+                   / n_chars, 12) AS ares_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, ares_key,
+               CAST(row_number() OVER (ORDER BY ares_key DESC, doc_id)
+                    AS BIGINT) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, n_chars, ares_key, rk
+    FROM ranked WHERE rk <= {ARES_K}
+    ORDER BY rk
+"""

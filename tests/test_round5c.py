@@ -757,3 +757,37 @@ def test_motif_census_vs_adjacency_matrix(spark):
     assert r.n_edges == len(edges)
     assert r.n_ffl == want_ffl
     assert r.n_cycle == want_cyc
+
+
+# ---------------------------------------------------------------------------
+# llm/sampling.py — A-ES weighted sample vs a Python twin, plus the
+# statistical property that the sample over-represents long documents.
+
+
+def test_weighted_ares_vs_python(spark):
+    import hashlib
+    import math as m
+
+    from flink_streaming_gnn_spark.llm.sampling import (
+        ARES_K,
+        sample_weighted_ares,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = []
+    for r in docs:
+        v = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        u = (v + 1) / 2**32
+        keys.append((round(m.log(u) / r.n_chars, 12), -r.doc_id, r))
+    keys.sort(reverse=True)
+    want = [(k[2].doc_id, k[2].n_chars) for k in keys[:ARES_K]]
+    got = sample_weighted_ares(spark, SF_SMOKE).orderBy("rk").collect()
+    assert [(r.doc_id, r.n_chars) for r in got] == want
+    assert [r.rk for r in got] == list(range(1, ARES_K + 1))
+    # weighting property: the sample mean length exceeds the corpus mean
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    sample_mean = sum(r.n_chars for r in got) / len(got)
+    assert sample_mean > corpus_mean

@@ -591,6 +591,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate"],
         [r"EvalPython", r"InPandas", r"CartesianProduct"],
     ),
+    # A-ES weighted sample: GLOBAL top-K must plan as
+    # TakeOrderedAndProject (per-task K + driver merge) — a rank-filter
+    # window would single-reduce the whole corpus (measured 46.9 s ×10)
+    "sample_weighted_ares": (
+        [r"TakeOrderedAndProject"],
+        [r"Join", r"EvalPython", r"HashAggregate", r"WindowGroupLimit"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
