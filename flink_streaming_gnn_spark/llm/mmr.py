@@ -10,9 +10,9 @@ pass a retrieval/curation pipeline runs between ANN search and final
 selection (dedup-by-meaning of the retrieved context).
 
 Spark-first shape: the corpus-sized work — cosine relevance against the
-broadcast query vector and the top-``POOL`` cut — is the exact partial
-top-k scan discipline of ``simsearch_cosine_knn`` (WindowGroupLimit
-pushes the rank predicate into each task). The greedy loop then runs on
+broadcast query vector and the top-``POOL`` cut — is one map pass plus
+a global ``orderBy().limit()`` top-POOL, planned as
+TakeOrderedAndProject (per-task POOL + driver merge, no global sort). The greedy loop then runs on
 the POOL×d candidate block driver-side — geometry-bounded (24×64
 floats, the ``ml_kmeans_lloyd`` bounded-collect discipline), invariant
 to corpus size by construction.
@@ -28,7 +28,7 @@ selection, not just its shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.functions.arrays import cosine_expr
@@ -53,14 +53,13 @@ def simsearch_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.filter(F.col("vec_id") != QUERY_ID).select(
         "vec_id", "embedding", F.round(rel, 6).alias("rel")
     )
-    # exact partial top-POOL: rank predicate pushes into WindowGroupLimit
-    w = Window.orderBy(F.col("rel").desc(), "vec_id")
-    pool = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= POOL)
-        .drop("rk")
-        .collect()  # bounded: POOL rows by construction
-    )
+    # exact GLOBAL top-POOL via orderBy().limit() — TakeOrderedAndProject
+    # (per-task POOL + driver merge); a rank-filter window here would
+    # single-reduce the whole corpus (WindowGroupLimit only fires on
+    # partitioned windows — the sample_weighted_ares lesson)
+    pool = scored.orderBy(
+        F.col("rel").desc(), "vec_id"
+    ).limit(POOL).collect()  # bounded: POOL rows by construction
     ids = [r.vec_id for r in pool]
     rels = {r.vec_id: r.rel for r in pool}
     vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in pool}
