@@ -376,3 +376,46 @@ ORACLE = {
         FROM doc
     """,
 }
+
+
+def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-richness profile: type–token ratio and the
+    hapax-legomenon share (the Zipf-tail mass) — the two lexical
+    diversity diagnostics a curation pipeline tracks next to
+    ``text_zipf_fit`` (a shrinking hapax share under dedup/filtering
+    means the long tail is being eaten). Two hash aggregations (token
+    counts, then tail census) — all integers until two final divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return freq.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax_count"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")) / F.count("*"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+QUERIES["text_vocab_richness"] = text_vocab_richness
+ORACLE["text_vocab_richness"] = """
+    WITH freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+    FROM freq
+"""

@@ -206,3 +206,44 @@ ORACLE = {
         FROM ranked
     """,
 }
+
+
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and mean-log-deviation (Theil L) of supplier revenue —
+    the decomposable entropy-based inequality indices next to
+    ``agg_gini_coefficient`` (T = E[(x/μ)·ln(x/μ)], L = −E[ln(x/μ)];
+    both 0 at perfect equality, T ≤ ln(n)). Unlike the Gini's rank
+    window, the Theil family needs NO global sort — one distributed
+    revenue aggregate, one 1-row mean broadcast back, one final mean:
+    the fully-parallel inequality measure (and the reason analysts use
+    it for by-group decomposition at scale). Revenues are strictly
+    positive (price·(1−disc)), so ln is total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("x")
+    )
+    mu = rev.agg(F.avg("x").alias("mu"))
+    ratio = F.col("x") / F.col("mu")
+    return (
+        rev.join(F.broadcast(mu))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.avg(ratio * F.log(ratio)), 6).alias("theil_t"),
+            F.round(-F.avg(F.log(ratio)), 6).alias("theil_l"),
+        )
+    )
+
+
+QUERIES["agg_theil_index"] = agg_theil_index
+ORACLE["agg_theil_index"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(l_extendedprice * (1 - l_discount)) AS x
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    m AS (SELECT avg(x) AS mu FROM rev)
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(avg((x / mu) * ln(x / mu)), 6) AS theil_t,
+           round(-avg(ln(x / mu)), 6) AS theil_l
+    FROM rev, m
+"""

@@ -791,3 +791,54 @@ def test_weighted_ares_vs_python(spark):
     corpus_mean = sum(r.n_chars for r in docs) / len(docs)
     sample_mean = sum(r.n_chars for r in got) / len(got)
     assert sample_mean > corpus_mean
+
+
+# ---------------------------------------------------------------------------
+# operators/inequality.py — Theil indices vs a direct Python computation
+# and their mathematical bounds.
+
+
+def test_theil_vs_python(spark):
+    import math as m
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.operators.inequality import agg_theil_index
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    ).collect()
+    rev = defaultdict(float)
+    for r in rows:
+        rev[r.l_suppkey] += r.l_extendedprice * (1 - r.l_discount)
+    xs = list(rev.values())
+    mu = sum(xs) / len(xs)
+    t = sum((x / mu) * m.log(x / mu) for x in xs) / len(xs)
+    lmld = -sum(m.log(x / mu) for x in xs) / len(xs)
+    r = agg_theil_index(spark, SF_SMOKE).collect()[0]
+    assert r.n_suppliers == len(xs)
+    assert abs(r.theil_t - t) < 1e-5
+    assert abs(r.theil_l - lmld) < 1e-5
+    assert 0.0 <= r.theil_t <= m.log(len(xs))
+    assert r.theil_l >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# llm/textstats.py — vocab richness vs a Counter twin.
+
+
+def test_vocab_richness_vs_python(spark):
+    from collections import Counter
+
+    from flink_streaming_gnn_spark.llm.textstats import text_vocab_richness
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    counts = Counter(t for d in docs for t in d.text.split(" ") if t)
+    n_tokens = sum(counts.values())
+    vocab = len(counts)
+    hapax = sum(1 for c in counts.values() if c == 1)
+    r = text_vocab_richness(spark, SF_SMOKE).collect()[0]
+    assert (r.n_tokens, r.vocab, r.hapax_count) == (n_tokens, vocab, hapax)
+    assert abs(r.type_token_ratio - round(vocab / n_tokens, 6)) < 1e-9
+    assert abs(r.hapax_ratio - round(hapax / vocab, 6)) < 1e-9

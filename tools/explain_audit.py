@@ -598,6 +598,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"TakeOrderedAndProject"],
         [r"Join", r"EvalPython", r"HashAggregate", r"WindowGroupLimit"],
     ),
+    # Theil: NO window, NO sort — the fully parallel inequality index
+    # (one revenue agg + 1-row mean broadcast + one final agg)
+    "agg_theil_index": (
+        [r"HashAggregate", r"partial_"],
+        [r"Window", r"EvalPython", r"SortMergeJoin"],
+    ),
+    # vocab richness: two hash aggs over the token stream, nothing else
+    "text_vocab_richness": (
+        [r"HashAggregate", r"partial_"],
+        [r"Join", r"EvalPython", r"Window"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
