@@ -157,3 +157,95 @@ ORACLE = {
         ORDER BY day
     """,
 }
+
+
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.3, 0.1, 0.2
+HW_PERIOD = 7  # weekly seasonality on the daily series
+HW_K = 28  # truncation: 4 seasonal periods of taps
+
+
+def _hw_weights(k: int = HW_K):
+    """Holt–Winters additive smoothing as a truncated linear filter (the
+    ``ts_holt_filter`` unroll lifted to the (m+2)-state seasonal system):
+    state (l, b, s_t..s_{t−m+1}) follows state_t = A·state_{t−1} + c·x_t,
+    so level/trend/season are Σ_j (A^j c)[i]·x_{t−j}. Returns the three
+    literal weight lists both engines embed verbatim."""
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    dim = m + 2
+    A = [[0.0] * dim for _ in range(dim)]
+    # l_t
+    A[0][0] = 1 - a
+    A[0][1] = 1 - a
+    A[0][2 + m - 1] = -a
+    # b_t
+    A[1][0] = -b * a
+    A[1][1] = 1 - b * a
+    A[1][2 + m - 1] = -b * a
+    # s_t
+    A[2][0] = -g * (1 - a)
+    A[2][1] = -g * (1 - a)
+    A[2][2 + m - 1] = g * a + 1 - g
+    # seasonal shift register s_{t−k} = prev s_{t−k+1}
+    for j in range(1, m):
+        A[2 + j][2 + j - 1] = 1.0
+    vec = [a, b * a, g * (1 - a)] + [0.0] * (m - 1)
+    wl, wb, ws = [], [], []
+    for _ in range(k):
+        wl.append(vec[0])
+        wb.append(vec[1])
+        ws.append(vec[2])
+        vec = [sum(A[i][j] * vec[j] for j in range(dim)) for i in range(dim)]
+    return wl, wb, ws
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive level/trend/seasonal smoothing of the daily
+    quantity series as a K-term truncated filter (zero-padded before the
+    series start — the ``ts_holt_filter`` documented semantic): all
+    three state estimates from K ``lag()`` taps sharing ONE ordered
+    window over the calendar-bounded series. Both engines evaluate the
+    identical literal-weight tap chain on exact-integer daily inputs, so
+    per-row values are IEEE-identical before the display rounding."""
+    wl, wb, ws = _hw_weights()
+    daily = _daily_qty(spark, sf_dir)
+    w = Window.orderBy("day")
+    level = F.lit(0.0)
+    trend = F.lit(0.0)
+    season = F.lit(0.0)
+    for i in range(HW_K):
+        x = F.coalesce(F.lag("qty", i).over(w).cast("double"), F.lit(0.0))
+        level = level + x * wl[i]
+        trend = trend + x * wb[i]
+        season = season + x * ws[i]
+    return daily.select(
+        "day",
+        "qty",
+        F.round(level, 4).alias("level"),
+        F.round(trend, 4).alias("trend"),
+        F.round(season, 4).alias("seasonal"),
+    ).orderBy("day")
+
+
+def _hw_oracle() -> str:
+    wl, wb, ws = _hw_weights()
+
+    def taps(weights: list[float]) -> str:
+        return " + ".join(
+            f"COALESCE(CAST(lag(qty, {i}) OVER w AS DOUBLE), 0.0) * {weights[i]!r}"
+            for i in range(HW_K)
+        )
+
+    return f"""
+        WITH {_DAILY_CTE}
+        SELECT day, qty,
+               round({taps(wl)}, 4) AS level,
+               round({taps(wb)}, 4) AS trend,
+               round({taps(ws)}, 4) AS seasonal
+        FROM daily
+        WINDOW w AS (ORDER BY day)
+        ORDER BY day
+    """
+
+
+QUERIES["ts_holt_winters"] = ts_holt_winters
+ORACLE["ts_holt_winters"] = _hw_oracle()

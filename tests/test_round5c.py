@@ -842,3 +842,53 @@ def test_vocab_richness_vs_python(spark):
     assert (r.n_tokens, r.vocab, r.hapax_count) == (n_tokens, vocab, hapax)
     assert abs(r.type_token_ratio - round(vocab / n_tokens, 6)) < 1e-9
     assert abs(r.hapax_ratio - round(hapax / vocab, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# operators/techind.py — the Holt–Winters truncated filter must EQUAL the
+# true sequential recursion (zero-initialized) on any series shorter than
+# the truncation horizon K: truncation only bites beyond K taps, so this
+# pins the companion-matrix derivation exactly.
+
+
+def test_holt_winters_filter_equals_recursion(spark):
+    from flink_streaming_gnn_spark.operators.techind import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_K,
+        HW_PERIOD,
+        _hw_weights,
+    )
+
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    xs = [float((7 * i * i + 3 * i) % 50 + (10 if i % m == 2 else 0)) for i in range(20)]
+    assert len(xs) < HW_K
+    # sequential zero-initialized recursion
+    lvl, trd = 0.0, 0.0
+    seas = [0.0] * m  # seas[j] = s_{t-1-j} ring (most recent first)
+    got = []
+    for x in xs:
+        s_tm = seas[m - 1]
+        new_l = a * (x - s_tm) + (1 - a) * (lvl + trd)
+        new_b = b * (new_l - lvl) + (1 - b) * trd
+        new_s = g * (x - new_l) + (1 - g) * s_tm
+        lvl, trd = new_l, new_b
+        seas = [new_s] + seas[:-1]
+        got.append((lvl, trd, new_s))
+    # truncated filter
+    wl, wb, ws = _hw_weights()
+    for t in range(len(xs)):
+        fl = sum(wl[j] * xs[t - j] for j in range(min(t + 1, HW_K)))
+        fb = sum(wb[j] * xs[t - j] for j in range(min(t + 1, HW_K)))
+        fs = sum(ws[j] * xs[t - j] for j in range(min(t + 1, HW_K)))
+        assert abs(fl - got[t][0]) < 1e-9, f"level diverges at t={t}"
+        assert abs(fb - got[t][1]) < 1e-9, f"trend diverges at t={t}"
+        assert abs(fs - got[t][2]) < 1e-9, f"seasonal diverges at t={t}"
+    # and the Spark key runs with the right shape on the fixture
+    from flink_streaming_gnn_spark.operators.techind import ts_holt_winters
+
+    rows = ts_holt_winters(spark, SF_SMOKE).limit(5).collect()
+    assert {c for c in rows[0].asDict()} == {
+        "day", "qty", "level", "trend", "seasonal"
+    }

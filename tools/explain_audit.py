@@ -609,6 +609,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"partial_"],
         [r"Join", r"EvalPython", r"Window"],
     ),
+    # Holt–Winters: K lag taps share ONE ordered window over the
+    # calendar-bounded daily frame; corpus pass is the daily hash agg
+    "ts_holt_winters": (
+        [r"HashAggregate", r"Window"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
