@@ -419,3 +419,83 @@ ORACLE["text_vocab_richness"] = """
                  / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
     FROM freq
 """
+
+
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between document sources — the
+    corpus-mixing diagnostic ("which feeds are lexically redundant?")
+    a curation pipeline runs before setting mix weights. Top-20 most
+    overlapping source pairs.
+
+    Shape: one distinct (source, token) projection (the only
+    corpus-sized pass), per-source vocab sizes aggregated once, then the
+    pair intersection via ONE equi-join on token — never |sources|²
+    scans; the join output is bounded by Σ_token df(token)², the
+    posting-list bound every vocabulary-overlap system carries. Jaccard
+    from exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    inter = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("v").alias("v_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("v").alias("v_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "common",
+            "v_a",
+            "v_b",
+            F.round(
+                F.col("common") / (F.col("v_a") + F.col("v_b") - F.col("common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy(F.col("vocab_jaccard").desc(), "src_a", "src_b")
+        .limit(20)
+    )
+
+
+QUERIES["text_source_vocab_overlap"] = text_source_vocab_overlap
+ORACLE["text_source_vocab_overlap"] = """
+    WITH st AS (
+        SELECT DISTINCT source, tok
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.common, sa.v AS v_a, sb.v AS v_b,
+           round(i.common / CAST(sa.v + sb.v - i.common AS DOUBLE), 6)
+               AS vocab_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY vocab_jaccard DESC, src_a, src_b
+    LIMIT 20
+"""

@@ -348,3 +348,61 @@ ORACLE = {
         ORDER BY 1
     """,
 }
+
+
+TRIM_P = 0.05  # symmetric trim/winsorize fraction
+
+
+def agg_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed and winsorized means of per-order revenue — the two
+    classical robust location estimators next to the median/MAD tier:
+    the 5%-trimmed mean DROPS the tails, the winsorized mean CLAMPS them
+    to the cut points. Shape: one distributed per-order aggregate, one
+    exact-percentile pass for the two cut points (percentile ≡
+    quantile_cont, the ``agg_percentile`` discipline), then one
+    conditional aggregate with the cuts broadcast back — no global sort.
+    The trim CONDITION compares against the rounded cuts (4 dp) so both
+    engines trim the identical row set; only means are rounded after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y")
+    )
+    cuts = rev.agg(
+        F.round(F.percentile("y", F.lit(TRIM_P)), 4).alias("lo"),
+        F.round(F.percentile("y", F.lit(1 - TRIM_P)), 4).alias("hi"),
+    )
+    return rev.join(F.broadcast(cuts)).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.avg("y"), 4).alias("mean"),
+        F.round(
+            F.avg(F.when((F.col("y") >= F.col("lo")) & (F.col("y") <= F.col("hi")), F.col("y"))),
+            4,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.avg(F.greatest(F.least(F.col("y"), F.col("hi")), F.col("lo"))), 4
+        ).alias("winsorized_mean"),
+        F.min("lo").alias("cut_lo"),
+        F.min("hi").alias("cut_hi"),
+    )
+
+
+QUERIES["agg_trimmed_winsorized_mean"] = agg_trimmed_winsorized_mean
+ORACLE["agg_trimmed_winsorized_mean"] = f"""
+    WITH rev AS (
+        SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    cuts AS (
+        SELECT round(quantile_cont(y, {TRIM_P}), 4) AS lo,
+               round(quantile_cont(y, {1 - TRIM_P}), 4) AS hi
+        FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(y), 4) AS mean,
+           round(avg(CASE WHEN y >= lo AND y <= hi THEN y END), 4)
+               AS trimmed_mean,
+           round(avg(greatest(least(y, hi), lo)), 4) AS winsorized_mean,
+           min(lo) AS cut_lo,
+           min(hi) AS cut_hi
+    FROM rev, cuts
+"""

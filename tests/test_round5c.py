@@ -892,3 +892,71 @@ def test_holt_winters_filter_equals_recursion(spark):
     assert {c for c in rows[0].asDict()} == {
         "day", "qty", "level", "trend", "seasonal"
     }
+
+
+# ---------------------------------------------------------------------------
+# operators/robust.py — trimmed/winsorized means vs a numpy twin.
+
+
+def test_trimmed_winsorized_vs_numpy(spark):
+    from collections import defaultdict
+
+    import numpy as np
+
+    from flink_streaming_gnn_spark.operators.robust import (
+        TRIM_P,
+        agg_trimmed_winsorized_mean,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect()
+    rev = defaultdict(float)
+    for r in rows:
+        rev[r.l_orderkey] += r.l_extendedprice * (1 - r.l_discount)
+    y = np.array(list(rev.values()))
+    lo = round(float(np.percentile(y, 100 * TRIM_P)), 4)
+    hi = round(float(np.percentile(y, 100 * (1 - TRIM_P))), 4)
+    kept = y[(y >= lo) & (y <= hi)]
+    wins = np.clip(y, lo, hi)
+    r = agg_trimmed_winsorized_mean(spark, SF_SMOKE).collect()[0]
+    assert r.n_orders == len(y)
+    assert abs(r.cut_lo - lo) < 1e-6 and abs(r.cut_hi - hi) < 1e-6
+    assert abs(r.mean - round(float(y.mean()), 4)) < 1e-3
+    assert abs(r.trimmed_mean - round(float(kept.mean()), 4)) < 1e-3
+    assert abs(r.winsorized_mean - round(float(wins.mean()), 4)) < 1e-3
+    # robustness ordering on a right-skewed distribution: both robust
+    # estimators sit at or below the raw mean's tail pull direction
+    assert min(r.trimmed_mean, r.winsorized_mean) <= r.mean + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# llm/textstats.py — source vocabulary overlap vs a Python set twin.
+
+
+def test_source_vocab_overlap_vs_python(spark):
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.llm.textstats import text_source_vocab_overlap
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    vocab = defaultdict(set)
+    for d in docs:
+        vocab[d.source].update(t for t in d.text.split(" ") if t)
+    pairs = []
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            common = len(vocab[a] & vocab[b])
+            if common:
+                j = common / len(vocab[a] | vocab[b])
+                pairs.append((round(j, 6), a, b, common))
+    pairs.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, c, round(j, 6)) for j, a, b, c in pairs[:20]]
+    got = [
+        (r.src_a, r.src_b, r.common, r.vocab_jaccard)
+        for r in text_source_vocab_overlap(spark, SF_SMOKE).collect()
+    ]
+    assert got == want

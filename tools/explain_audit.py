@@ -615,6 +615,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window"],
         [r"Join", r"EvalPython", r"InPandas"],
     ),
+    # trimmed/winsorized: percentile cuts broadcast back — no sort, no
+    # window; two aggregates and one 1-row broadcast join
+    "agg_trimmed_winsorized_mean": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"Window", r"EvalPython", r"SortMergeJoin"],
+    ),
+    # vocab overlap: ONE token equi-join over the distinct projection;
+    # per-source sizes broadcast
+    "text_source_vocab_overlap": (
+        [r"HashAggregate", r"BroadcastHashJoin"],
+        [r"EvalPython", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
