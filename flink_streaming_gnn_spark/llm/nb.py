@@ -228,3 +228,89 @@ ORACLE = {
         ORDER BY doc_id
     """,
 }
+
+
+def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class evaluation of the NB classifier (precision / recall /
+    F1 from the confusion counts) — the metrics pass every ML pipeline
+    runs after scoring, closing the train → score → evaluate loop.
+    Reuses ``ml_nb_score``'s predictions (the whole scoring dataflow is
+    the upstream plan), joins the true labels back, and reduces to
+    |classes| rows of integer confusion counts; P/R/F1 are single
+    divisions on those integers, so the only rounding site is display.
+    """
+    preds = ml_nb_score(spark, sf_dir).select("doc_id", "pred_lang")
+    truth = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    joined = preds.join(truth, "doc_id")
+    per_true = joined.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum((F.col("pred_lang") == F.col("true_lang")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    per_pred = joined.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_pred")
+    )
+    m = per_true.join(per_pred, "lang", "full").fillna(
+        0, subset=["n_true", "n_correct", "n_pred"]
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_true") > 0, F.col("n_correct") / F.col("n_true")).otherwise(0.0)
+    f1 = F.when(
+        prec + rec > 0, 2.0 * prec * rec / (prec + rec)
+    ).otherwise(0.0)
+    return m.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("lang")
+
+
+QUERIES["ml_eval_confusion"] = ml_eval_confusion
+ORACLE["ml_eval_confusion"] = f"""
+    WITH preds AS ({ORACLE["ml_nb_score"]}),
+    joined AS (
+        SELECT p.doc_id, d.lang AS true_lang, p.pred_lang
+        FROM preds p JOIN documents d ON d.doc_id = p.doc_id
+    ),
+    per_true AS (
+        SELECT true_lang AS lang,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM joined GROUP BY true_lang
+    ),
+    per_pred AS (
+        SELECT pred_lang AS lang, CAST(count(*) AS BIGINT) AS n_pred
+        FROM joined GROUP BY pred_lang
+    ),
+    m AS (
+        SELECT coalesce(t.lang, p.lang) AS lang,
+               coalesce(t.n_true, 0) AS n_true,
+               coalesce(p.n_pred, 0) AS n_pred,
+               coalesce(t.n_correct, 0) AS n_correct
+        FROM per_true t FULL JOIN per_pred p ON p.lang = t.lang
+    )
+    SELECT lang, n_true, n_pred, n_correct,
+           round(CASE WHEN n_pred > 0
+                      THEN n_correct / CAST(n_pred AS DOUBLE) ELSE 0 END, 6)
+               AS precision,
+           round(CASE WHEN n_true > 0
+                      THEN n_correct / CAST(n_true AS DOUBLE) ELSE 0 END, 6)
+               AS recall,
+           round(CASE WHEN (CASE WHEN n_pred > 0 THEN n_correct / CAST(n_pred AS DOUBLE) ELSE 0 END)
+                        + (CASE WHEN n_true > 0 THEN n_correct / CAST(n_true AS DOUBLE) ELSE 0 END) > 0
+                      THEN 2.0 * (CASE WHEN n_pred > 0 THEN n_correct / CAST(n_pred AS DOUBLE) ELSE 0 END)
+                               * (CASE WHEN n_true > 0 THEN n_correct / CAST(n_true AS DOUBLE) ELSE 0 END)
+                           / ((CASE WHEN n_pred > 0 THEN n_correct / CAST(n_pred AS DOUBLE) ELSE 0 END)
+                            + (CASE WHEN n_true > 0 THEN n_correct / CAST(n_true AS DOUBLE) ELSE 0 END))
+                      ELSE 0 END, 6) AS f1
+    FROM m
+    ORDER BY lang
+"""

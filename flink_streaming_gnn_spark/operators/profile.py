@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
@@ -183,3 +184,55 @@ ORACLE = {
     "dq_constraint_check": _dq_oracle(),
     "profile_column_entropy": _entropy_oracle(),
 }
+
+
+_FK_CHECKS = (
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the referential
+    cousin of ``dq_constraint_check``'s single-table rules, and the first
+    thing a warehouse DQ suite verifies after a load. One LEFT ANTI join
+    per declared FK (child minus matching parents = orphans), each
+    broadcast-gated on the dimension side; counts are exact integers.
+    A healthy fixture passes every check — the key's value is that the
+    oracle recomputes each orphan count independently, so a broken join
+    key or a silently-pruned dimension flips the hash."""
+    rows = []
+    for name, child_t, child_k, parent_t, parent_k in _FK_CHECKS:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(child_k).alias("k")
+        )
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_k).alias("k")
+        ).distinct()
+        n_child = child.count()
+        n_orphans = child.join(maybe_broadcast(parent), "k", "left_anti").count()
+        rows.append((name, n_child, n_orphans, n_orphans == 0))
+    return spark.createDataFrame(
+        rows, "fk string, n_child_rows long, n_orphans long, pass boolean"
+    ).orderBy("fk")
+
+
+QUERIES["dq_referential_integrity"] = dq_referential_integrity
+ORACLE["dq_referential_integrity"] = " UNION ALL ".join(
+    f"""
+    SELECT '{name}' AS fk,
+           CAST((SELECT count(*) FROM {child_t}) AS BIGINT) AS n_child_rows,
+           CAST((SELECT count(*) FROM {child_t} c
+                 WHERE NOT EXISTS (SELECT 1 FROM {parent_t} p
+                                   WHERE p.{parent_k} = c.{child_k}))
+                AS BIGINT) AS n_orphans,
+           (SELECT count(*) FROM {child_t} c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent_t} p
+                              WHERE p.{parent_k} = c.{child_k})) = 0 AS pass
+    """
+    for name, child_t, child_k, parent_t, parent_k in _FK_CHECKS
+) + " ORDER BY fk"

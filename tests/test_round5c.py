@@ -960,3 +960,67 @@ def test_source_vocab_overlap_vs_python(spark):
         for r in text_source_vocab_overlap(spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# llm/nb.py — confusion metrics vs a Python twin over the scored preds.
+
+
+def test_ml_eval_confusion_vs_python(spark):
+    from collections import Counter
+
+    from flink_streaming_gnn_spark.llm.nb import ml_eval_confusion, ml_nb_score
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    preds = {r.doc_id: r.pred_lang for r in ml_nb_score(spark, SF_SMOKE).collect()}
+    truth = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
+        if r.doc_id in preds
+    }
+    n_true: Counter = Counter(truth.values())
+    n_pred: Counter = Counter(preds.values())
+    n_corr: Counter = Counter(
+        truth[d] for d in preds if preds[d] == truth[d]
+    )
+    got = {r.lang: r for r in ml_eval_confusion(spark, SF_SMOKE).collect()}
+    assert set(got) == set(n_true) | set(n_pred)
+    for lang, r in got.items():
+        assert (r.n_true, r.n_pred, r.n_correct) == (
+            n_true[lang], n_pred[lang], n_corr[lang]
+        )
+        p = n_corr[lang] / n_pred[lang] if n_pred[lang] else 0.0
+        rc = n_corr[lang] / n_true[lang] if n_true[lang] else 0.0
+        f1 = 2 * p * rc / (p + rc) if p + rc else 0.0
+        assert abs(r.precision - round(p, 6)) < 1e-6
+        assert abs(r.recall - round(rc, 6)) < 1e-6
+        assert abs(r.f1 - round(f1, 6)) < 1e-6
+    # micro-accuracy consistency: sum of correct == correct predictions
+    assert sum(r.n_correct for r in got.values()) == sum(
+        1 for d in preds if preds[d] == truth[d]
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators/profile.py — referential integrity: the healthy fixture has
+# zero orphans everywhere, and counts equal direct set arithmetic.
+
+
+def test_referential_integrity_vs_python(spark):
+    from flink_streaming_gnn_spark.operators.profile import (
+        _FK_CHECKS,
+        dq_referential_integrity,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    got = {r.fk: r for r in dq_referential_integrity(spark, SF_SMOKE).collect()}
+    assert len(got) == len(_FK_CHECKS)
+    for name, child_t, child_k, parent_t, parent_k in _FK_CHECKS:
+        child = [r[0] for r in load_table(spark, SF_SMOKE, child_t).select(child_k).collect()]
+        parents = {r[0] for r in load_table(spark, SF_SMOKE, parent_t).select(parent_k).collect()}
+        orphans = sum(1 for k in child if k not in parents)
+        r = got[name]
+        assert r.n_child_rows == len(child)
+        assert r.n_orphans == orphans
+        assert r.pass_ == (orphans == 0) if hasattr(r, "pass_") else True
+        assert r["pass"] == (orphans == 0)
