@@ -239,9 +239,13 @@ _PRIORITY_KEYS_R4 = (
 # containment, unigram ×2, KS drift, CEP absence, TTL/SCD2/CC streams,
 # then the 5c batch: skyline, Benford, JSD, Bollinger/RSI, DSIR, stump,
 # binaryFile, position attribution, funnel TTC, MMR, aHash, multiple
-# regression, path mining, Matryoshka — 28 total) for a 50-key round-6
-# remainder: at 300 keys, ONE final full window closes attestation
-# (200 attested r1–r4 + 50 this round + 50 in round 6).
+# regression, path mining, Matryoshka, image-hamming groups, PACF,
+# motif census, A-ES, Theil, vocab richness, Holt–Winters,
+# trimmed/winsorized, vocab overlap, NB eval, FK audit — 39 total).
+# At 311 keys: 200 attested r1–r4 + 50 this round = 250 after r5,
+# leaving 61 never-attested → round 6 takes 50, the final 11 roll to
+# round 7 (rounds run to 20; the window math is regenerated per round
+# by tools/attestation_ledger.py).
 # The three keys with no DuckDB oracle (multimodal_decode_stub,
 # agg_hll_sketch_rollup, agg_approx_quantile) are pinned at the very end
 # so no round-5 window slot is spent on a rows-only row.
