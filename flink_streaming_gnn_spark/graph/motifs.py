@@ -79,3 +79,73 @@ ORACLE = {
                AND e1.a < e1.b AND e1.a < e2.b) AS n_cycle
     """,
 }
+
+
+def graph_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland–Leinhardt DYAD census of the directed vertex graph:
+    mutual (both directions), asymmetric (exactly one), null (neither)
+    pair counts — the 2-node floor under the 3-node motif census above,
+    and the standard reciprocity summary of a directed network.
+
+    All-integer relational arithmetic: mutual pairs from ONE self-join
+    of the deduped edge list on swapped keys (a < b canonicalization),
+    asymmetric = distinct undirected pairs − mutual, null = C(n,2) −
+    undirected pairs over the observed vertex set. One bounded row out."""
+    e = (
+        derive_vertex_embeddings(spark, sf_dir)
+        .filter(F.col("src_v") != F.col("dst_v"))
+        .distinct()
+        .select(F.col("src_v").alias("a"), F.col("dst_v").alias("b"))
+        .localCheckpoint()  # referenced four times below
+    )
+    n_vertices = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .distinct()
+        .count()
+    )
+    undirected = (
+        e.select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+        .count()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mutual = e.join(rev, ["a", "b"]).filter(F.col("a") < F.col("b")).count()
+    asym = undirected - mutual
+    null = n_vertices * (n_vertices - 1) // 2 - undirected
+    return spark.createDataFrame(
+        [(n_vertices, mutual, asym, null)],
+        "n_vertices long, mutual long, asymmetric long, null_dyads long",
+    )
+
+
+QUERIES["graph_dyad_census"] = graph_dyad_census
+ORACLE["graph_dyad_census"] = f"""
+    WITH {EDGES_V_CTE},
+    e AS MATERIALIZED (
+        SELECT DISTINCT src_v AS a, dst_v AS b
+        FROM edges_v WHERE src_v <> dst_v
+    ),
+    verts AS (
+        SELECT CAST(count(DISTINCT v) AS BIGINT) AS n FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b FROM e
+        )
+    ),
+    und AS (
+        SELECT CAST(count(*) AS BIGINT) AS u FROM (
+            SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM e
+        )
+    ),
+    mut AS (
+        SELECT CAST(count(*) AS BIGINT) AS m
+        FROM e e1 JOIN e e2 ON e2.a = e1.b AND e2.b = e1.a
+        WHERE e1.a < e1.b
+    )
+    SELECT verts.n AS n_vertices,
+           mut.m AS mutual,
+           und.u - mut.m AS asymmetric,
+           verts.n * (verts.n - 1) // 2 - und.u AS null_dyads
+    FROM verts, und, mut
+"""

@@ -1,0 +1,133 @@
+"""Mann–Whitney U rank-sum test (SURVEY.md §2B data-quality family,
+the nonparametric location test next to ``dq_ks_drift``'s distribution
+test): do ``click`` and ``view`` events draw their values from the same
+location? U from MIDRANKS with the tie-corrected normal approximation
+(Mann & Whitney 1947; midrank/tie treatment per standard practice).
+
+Exactness: on the distinct-value grid, midrank(v) = C(v) + (t(v)+1)/2
+where C is the exclusive cumulative pair count and t the tie size —
+integers plus exact binary halves, so the rank sum and U are EXACT
+doubles; only the z-score (one sqrt) rounds at display.
+
+SCALE-SAFE CUMSUM: the exclusive cumulative count uses the
+``dq_ks_drift`` discipline — approx-quantile literal boundaries,
+bucket-local windows (parallel), per-bucket totals to the driver
+(≤ n_part rows) re-broadcast as offset maps. The DuckDB oracle keeps
+the plain single-window formulation (cross-formulation check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_gnn_spark.sources.tables import load_table
+
+TYPE_A, TYPE_B = "click", "view"
+
+
+def dq_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin([TYPE_A, TYPE_B])
+    )
+    per_v = (
+        ev.groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == TYPE_A).cast("long")).alias("c_a"),
+            F.sum((F.col("event_type") == TYPE_B).cast("long")).alias("c_b"),
+        )
+        .withColumn("t", F.col("c_a") + F.col("c_b"))
+        .localCheckpoint()  # pins one materialization for the jobs below
+    )
+    n_part = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    probs = [i / n_part for i in range(1, n_part)]
+    bounds = sorted(set(per_v.stat.approxQuantile("value", probs, 0.01)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col("value") > F.lit(b), 1).otherwise(0)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per_v.withColumn("_pid", pid).withColumn(
+        "lt", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    totals = {
+        r["_pid"]: r["tt"]
+        for r in local.groupBy("_pid").agg(F.sum("t").alias("tt")).collect()
+    }  # ≤ n_part rows — geometry-bounded driver read
+    off, acc = {}, 0
+    for p in sorted(totals):
+        off[p] = acc
+        acc += totals[p]
+    off_map = F.create_map(*[F.lit(x) for p in sorted(off) for x in (p, off[p])])
+    midrank = (off_map[F.col("_pid")] + F.col("lt")).cast("double") + (
+        F.col("t") + 1.0
+    ) / 2.0
+    agg = local.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.sum(F.col("c_a") * midrank).alias("r_a"),
+        F.sum(F.col("t") * (F.col("t") * F.col("t") - 1)).alias("tie_term"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("r_a") - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    sigma = F.sqrt(
+        na * nb / 12.0 * ((n + 1.0) - F.col("tie_term") / (n * (n - 1.0)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_stat"),
+        F.round((u_a - mu) / sigma, 6).alias("z_score"),
+    )
+
+
+QUERIES = {"dq_mann_whitney": dq_mann_whitney}
+
+ORACLE = {
+    # plain single-window formulation — cross-checks the bucketed cumsum
+    "dq_mann_whitney": f"""
+        WITH ev AS (
+            SELECT value, event_type FROM events
+            WHERE event_type IN ('{TYPE_A}', '{TYPE_B}')
+        ),
+        per_v AS (
+            SELECT value,
+                   CAST(sum(CASE WHEN event_type = '{TYPE_A}' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c_a,
+                   CAST(sum(CASE WHEN event_type = '{TYPE_B}' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c_b
+            FROM ev GROUP BY value
+        ),
+        ranked AS (
+            SELECT c_a, c_b, c_a + c_b AS t,
+                   coalesce(sum(c_a + c_b) OVER (
+                       ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM per_v
+        ),
+        agg AS (
+            SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                   CAST(sum(c_b) AS BIGINT) AS n_b,
+                   sum(c_a * (CAST(cum_before AS DOUBLE) + (t + 1.0) / 2.0))
+                       AS r_a,
+                   sum(t * (t * t - 1)) AS tie_term
+            FROM ranked
+        )
+        SELECT n_a, n_b,
+               r_a - n_a * (n_a + 1.0) / 2.0 AS u_stat,
+               round((r_a - n_a * (n_a + 1.0) / 2.0
+                      - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                     / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                            * ((n_a + n_b + 1.0)
+                               - tie_term / (CAST(n_a + n_b AS DOUBLE)
+                                             * (n_a + n_b - 1.0)))), 6)
+                   AS z_score
+        FROM agg
+    """,
+}

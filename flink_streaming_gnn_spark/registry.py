@@ -151,6 +151,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.llm.matryoshka",
     "flink_streaming_gnn_spark.operators.pacf",
     "flink_streaming_gnn_spark.graph.motifs",
+    "flink_streaming_gnn_spark.operators.nonparam",
 )
 
 

@@ -1024,3 +1024,71 @@ def test_referential_integrity_vs_python(spark):
         assert r.n_orphans == orphans
         assert r.pass_ == (orphans == 0) if hasattr(r, "pass_") else True
         assert r["pass"] == (orphans == 0)
+
+
+# ---------------------------------------------------------------------------
+# operators/nonparam.py — Mann–Whitney U vs a from-scratch midrank twin.
+
+
+def test_mann_whitney_vs_python(spark):
+    import math as m
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.operators.nonparam import (
+        TYPE_A,
+        TYPE_B,
+        dq_mann_whitney,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    per_v: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r.event_type == TYPE_A:
+            per_v[r.value][0] += 1
+        elif r.event_type == TYPE_B:
+            per_v[r.value][1] += 1
+    cum, r_a, tie = 0, 0.0, 0
+    n_a = sum(c[0] for c in per_v.values())
+    n_b = sum(c[1] for c in per_v.values())
+    for v in sorted(per_v):
+        ca, cb = per_v[v]
+        t = ca + cb
+        r_a += ca * (cum + (t + 1) / 2)
+        tie += t * (t * t - 1)
+        cum += t
+    u_a = r_a - n_a * (n_a + 1) / 2
+    n = n_a + n_b
+    sigma = m.sqrt(n_a * n_b / 12 * ((n + 1) - tie / (n * (n - 1))))
+    z = (u_a - n_a * n_b / 2) / sigma
+    got = dq_mann_whitney(spark, SF_SMOKE).collect()[0]
+    assert (got.n_a, got.n_b) == (n_a, n_b)
+    assert abs(got.u_stat - u_a) < 1e-6
+    assert abs(got.z_score - round(z, 6)) < 1e-6
+    # sanity: U within its range
+    assert 0 <= got.u_stat <= n_a * n_b
+
+
+# ---------------------------------------------------------------------------
+# graph/motifs.py — dyad census vs a Python set twin and the identity
+# mutual + asymmetric + null == C(n, 2).
+
+
+def test_dyad_census_vs_python(spark):
+    from flink_streaming_gnn_spark.graph.edges import derive_vertex_embeddings
+    from flink_streaming_gnn_spark.graph.motifs import graph_dyad_census
+
+    edges = {
+        (r.src_v, r.dst_v)
+        for r in derive_vertex_embeddings(spark, SF_SMOKE).collect()
+        if r.src_v != r.dst_v
+    }
+    verts = {v for e in edges for v in e}
+    und = {tuple(sorted(e)) for e in edges}
+    mutual = sum(1 for a, b in und if (a, b) in edges and (b, a) in edges)
+    r = graph_dyad_census(spark, SF_SMOKE).collect()[0]
+    assert r.n_vertices == len(verts)
+    assert r.mutual == mutual
+    assert r.asymmetric == len(und) - mutual
+    n = len(verts)
+    assert r.mutual + r.asymmetric + r.null_dyads == n * (n - 1) // 2

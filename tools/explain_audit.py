@@ -629,6 +629,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastHashJoin"],
         [r"EvalPython", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # Mann-Whitney: bucket-local cumsum windows (hashpartitioning on
+    # _pid), never an unpartitioned corpus window
+    "dq_mann_whitney": (
+        [r"Window", r"hashpartitioning\(_pid"],
+        [r"EvalPython", r"CartesianProduct"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
