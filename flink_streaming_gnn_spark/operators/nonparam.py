@@ -131,3 +131,81 @@ ORACLE = {
         FROM agg
     """,
 }
+
+
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the event_type ×
+    weekday contingency table — "does event mix depend on the day of
+    week?", the categorical-association screen next to the location
+    (Mann–Whitney) and distribution (KS) tests. ONE distributed
+    conditional-count pass to the |types|×7 table; expected counts
+    E = row·col/n and the statistic are window arithmetic on that
+    bounded frame. Counts are exact integers; chi2 sums ≤ 35 rounded
+    terms (the Benford discipline). Output: one row with the statistic,
+    degrees of freedom, and Cramér's V effect size."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("weekday")
+    ).agg(F.count("*").cast("long").alias("o"))
+    wall = Window.partitionBy()
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("weekday")
+    exp = (
+        F.sum("o").over(wr).cast("double")
+        * F.sum("o").over(wc)
+        / F.sum("o").over(wall)
+    )
+    contrib = F.round((F.col("o") - exp) ** 2 / exp, 6)
+    scored = obs.select(
+        "event_type",
+        "weekday",
+        "o",
+        contrib.alias("chi2_contrib"),
+    )
+    r = F.count_distinct(F.col("event_type"))
+    c = F.count_distinct(F.col("weekday"))
+    dof = (r - 1) * (c - 1)
+    chi2 = F.round(F.sum("chi2_contrib"), 6)
+    n = F.sum("o")
+    v = F.round(
+        F.sqrt(F.sum("chi2_contrib") / n / F.least(r - 1, c - 1)), 6
+    )
+    return scored.agg(
+        n.cast("long").alias("n_events"),
+        chi2.alias("chi2"),
+        dof.cast("long").alias("dof"),
+        v.alias("cramers_v"),
+    )
+
+
+QUERIES["dq_chi2_independence"] = dq_chi2_independence
+ORACLE["dq_chi2_independence"] = """
+    WITH obs AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) AS BIGINT) AS weekday,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT o,
+               round((o - sum(o) OVER (PARTITION BY event_type)
+                          * CAST(sum(o) OVER (PARTITION BY weekday) AS DOUBLE)
+                          / sum(o) OVER ())
+                     * (o - sum(o) OVER (PARTITION BY event_type)
+                            * CAST(sum(o) OVER (PARTITION BY weekday) AS DOUBLE)
+                            / sum(o) OVER ())
+                     / (sum(o) OVER (PARTITION BY event_type)
+                        * CAST(sum(o) OVER (PARTITION BY weekday) AS DOUBLE)
+                        / sum(o) OVER ()), 6) AS chi2_contrib,
+               event_type, weekday
+        FROM obs
+    )
+    SELECT CAST(sum(o) AS BIGINT) AS n_events,
+           round(sum(chi2_contrib), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT weekday) - 1) AS BIGINT) AS dof,
+           round(sqrt(sum(chi2_contrib) / sum(o)
+                      / least(count(DISTINCT event_type) - 1,
+                              count(DISTINCT weekday) - 1)), 6) AS cramers_v
+    FROM scored
+"""

@@ -152,6 +152,7 @@ _MODULES = (
     "flink_streaming_gnn_spark.operators.pacf",
     "flink_streaming_gnn_spark.graph.motifs",
     "flink_streaming_gnn_spark.operators.nonparam",
+    "flink_streaming_gnn_spark.operators.movers",
 )
 
 

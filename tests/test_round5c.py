@@ -1092,3 +1092,108 @@ def test_dyad_census_vs_python(spark):
     assert r.asymmetric == len(und) - mutual
     n = len(verts)
     assert r.mutual + r.asymmetric + r.null_dyads == n * (n - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# operators/nonparam.py — chi-square independence vs a Python twin.
+
+
+def test_chi2_independence_vs_python(spark):
+    import math as m
+    from collections import Counter
+
+    from flink_streaming_gnn_spark.operators.nonparam import dq_chi2_independence
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select("event_type", "ts").collect()
+    obs = Counter((r.event_type, r.ts.isoweekday()) for r in rows)
+    row_t = Counter()
+    col_t = Counter()
+    for (et, wd), c in obs.items():
+        row_t[et] += c
+        col_t[wd] += c
+    n = sum(obs.values())
+    chi2 = sum(
+        round((c - row_t[et] * col_t[wd] / n) ** 2 / (row_t[et] * col_t[wd] / n), 6)
+        for (et, wd), c in obs.items()
+    )
+    dof = (len(row_t) - 1) * (len(col_t) - 1)
+    v = m.sqrt(chi2 / n / min(len(row_t) - 1, len(col_t) - 1))
+    r = dq_chi2_independence(spark, SF_SMOKE).collect()[0]
+    assert r.n_events == n
+    assert abs(r.chi2 - round(chi2, 6)) < 1e-6
+    assert r.dof == dof
+    assert abs(r.cramers_v - round(v, 6)) < 1e-6
+    assert 0.0 <= r.cramers_v <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# operators/movers.py — top movers and new/returning vs Python twins.
+
+
+def test_top_movers_vs_python(spark):
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.operators.movers import (
+        TOP_MOVERS,
+        olap_top_movers,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    }
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    nation = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }
+    monthly = defaultdict(float)
+    for r in load_table(spark, SF_SMOKE, "lineitem").collect():
+        nm = nation[cust[orders[r.l_orderkey]]]
+        month = r.l_shipdate.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        monthly[(nm, month)] += r.l_extendedprice * (1 - r.l_discount)
+    deltas = []
+    by_nation = defaultdict(list)
+    for (nm, month), rev in monthly.items():
+        by_nation[nm].append((month, round(rev, 2)))
+    for nm, series in by_nation.items():
+        series.sort()
+        for (m0, r0), (m1, r1) in zip(series, series[1:]):
+            deltas.append((round(r1 - r0, 2), nm, m1, r1))
+    deltas.sort(key=lambda t: (-abs(t[0]), t[1], t[2]))
+    want = [(nm, mo, rev, d) for d, nm, mo, rev in deltas[:TOP_MOVERS]]
+    got = [
+        (r.n_name, r.month, r.revenue, r.mom_delta)
+        for r in olap_top_movers(spark, SF_SMOKE).collect()
+    ]
+    assert [(w[0], w[1]) for w in want] == [(g[0], g[1]) for g in got]
+    for w, g in zip(want, got):
+        assert abs(w[2] - g[2]) < 0.02 and abs(w[3] - g[3]) < 0.02
+
+
+def test_new_vs_returning_vs_python(spark):
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.operators.movers import olap_new_vs_returning
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    active = {(r.user_id, r.ts.date()) for r in rows}
+    first = {}
+    for u, d in sorted(active, key=lambda t: t[1]):
+        first.setdefault(u, d)
+    per_day = defaultdict(lambda: [0, 0])
+    for u, d in active:
+        per_day[d][0 if first[u] == d else 1] += 1
+    got = {r.day.date(): r for r in olap_new_vs_returning(spark, SF_SMOKE).collect()}
+    assert set(got) == set(per_day)
+    for d, (new, ret) in per_day.items():
+        assert (got[d].new_users, got[d].returning_users) == (new, ret)
+        assert got[d].active_users == new + ret
+    # conservation: every user is new exactly once
+    assert sum(v[0] for v in per_day.values()) == len(first)
