@@ -100,7 +100,10 @@ def ml_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ml_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _per_class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, true_lang, lang, score): every held-out doc scored
+    against every class — the shared upstream of scoring, confusion
+    metrics and calibration."""
     lik, classes, floor = _model(spark, sf_dir)
     test = (
         load_table(spark, sf_dir, "documents")
@@ -122,7 +125,7 @@ def ml_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("loglik"), F.col("floor")).alias("ll"),
         )
     )
-    per_class = (
+    return (
         scored.groupBy("doc_id", "true_lang", "lang")
         .agg(F.sum("ll").alias("sum_ll"))
         .join(maybe_broadcast(classes), "lang")
@@ -133,6 +136,10 @@ def ml_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_ll") + F.col("logprior"), 6).alias("score"),
         )
     )
+
+
+def ml_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_class = _per_class_scores(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
     return (
         per_class.withColumn("rn", F.row_number().over(w))
@@ -169,27 +176,9 @@ _TRAIN_CTES = f"""
         )
 """
 
-QUERIES = {"ml_nb_train": ml_nb_train, "ml_nb_score": ml_nb_score}
-
-ORACLE = {
-    "ml_nb_train": f"""
-        WITH {_TRAIN_CTES},
-        ranked AS (
-            SELECT lang, token, loglik,
-                   CAST(row_number() OVER (
-                       PARTITION BY lang ORDER BY loglik DESC, token
-                   ) AS BIGINT) AS rank
-            FROM lik
-        )
-        SELECT r.lang, r.rank, r.token,
-               round(r.loglik, 6) AS loglik,
-               round(c.logprior, 6) AS logprior
-        FROM ranked r JOIN classes c ON c.lang = r.lang
-        WHERE r.rank <= {TOP_TOKENS}
-        ORDER BY r.lang, r.rank
-    """,
-    "ml_nb_score": f"""
-        WITH {_TRAIN_CTES},
+# shared scoring CTE chain: everything through per_class (doc × class
+# rounded scores) — reused by the score, confusion and calibration oracles
+_SCORE_CTES = f"""{_TRAIN_CTES},
         floor_t AS (
             SELECT lang,
                    ln(1.0 / CAST(cnt_c + (SELECT v FROM vocab) AS DOUBLE)) AS floor
@@ -215,7 +204,29 @@ ORACLE = {
                    round(sum(s.ll) + any_value(c.logprior), 6) AS score
             FROM scored s JOIN classes c ON c.lang = s.lang
             GROUP BY s.doc_id, s.true_lang, s.lang
-        ),
+        )"""
+
+QUERIES = {"ml_nb_train": ml_nb_train, "ml_nb_score": ml_nb_score}
+
+ORACLE = {
+    "ml_nb_train": f"""
+        WITH {_TRAIN_CTES},
+        ranked AS (
+            SELECT lang, token, loglik,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY loglik DESC, token
+                   ) AS BIGINT) AS rank
+            FROM lik
+        )
+        SELECT r.lang, r.rank, r.token,
+               round(r.loglik, 6) AS loglik,
+               round(c.logprior, 6) AS logprior
+        FROM ranked r JOIN classes c ON c.lang = r.lang
+        WHERE r.rank <= {TOP_TOKENS}
+        ORDER BY r.lang, r.rank
+    """,
+    "ml_nb_score": f"""
+        WITH {_SCORE_CTES},
         best AS (
             SELECT *, row_number() OVER (
                        PARTITION BY doc_id ORDER BY score DESC, lang
@@ -313,4 +324,100 @@ ORACLE["ml_eval_confusion"] = f"""
                       ELSE 0 END, 6) AS f1
     FROM m
     ORDER BY lang
+"""
+
+
+N_CAL_BINS = 10
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the NB
+    classifier — "when the model says 80%, is it right 80% of the
+    time?", the third leg of the evaluation stool next to
+    ``ml_eval_confusion`` (Guo et al. 2017 formulation). The softmax
+    confidence of the argmax class is computed from the shared per-class
+    scores (both engines start from the identical ROUNDED score grid, so
+    the exp/softmax arithmetic sees the same inputs), docs fall into 10
+    fixed-width confidence bins, and each bin reports count, mean
+    confidence and empirical accuracy; ECE = Σ (n_b/N)·|acc_b − conf_b|
+    rides the same bounded frame as a window sum.
+
+    Shape: the scoring dataflow (one corpus pass) + two windows over the
+    ≤|classes| rows per doc + a 10-row aggregate. Confidence binning is
+    floor(conf·10) clamped into the last bin."""
+    per_class = _per_class_scores(spark, sf_dir)
+    wd = Window.partitionBy("doc_id")
+    wr = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    staged = per_class.withColumn("smax", F.max("score").over(wd))
+    picked = (
+        staged.withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "conf", 1.0 / F.sum(F.exp(F.col("score") - F.col("smax"))).over(wd)
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.least(F.floor(F.col("conf") * N_CAL_BINS), F.lit(N_CAL_BINS - 1))
+            .cast("long")
+            .alias("bin"),
+            "conf",
+            (F.col("lang") == F.col("true_lang")).cast("long").alias("correct"),
+        )
+    )
+    bins = picked.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("conf"), 6).alias("avg_confidence"),
+        F.round(F.avg("correct"), 6).alias("accuracy"),
+    )
+    wall = Window.partitionBy()
+    return bins.select(
+        "bin",
+        "n_docs",
+        "avg_confidence",
+        "accuracy",
+        F.round(
+            F.sum(
+                F.col("n_docs")
+                * F.abs(F.col("accuracy") - F.col("avg_confidence"))
+            ).over(wall)
+            / F.sum("n_docs").over(wall),
+            6,
+        ).alias("ece"),
+    ).orderBy("bin")
+
+
+QUERIES["ml_calibration_bins"] = ml_calibration_bins
+ORACLE["ml_calibration_bins"] = f"""
+    WITH {_SCORE_CTES},
+    staged AS (
+        SELECT doc_id, true_lang, lang, score,
+               max(score) OVER (PARTITION BY doc_id) AS smax
+        FROM per_class
+    ),
+    conf_t AS (
+        SELECT doc_id, true_lang, lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn,
+               1.0 / sum(exp(score - smax))
+                         OVER (PARTITION BY doc_id) AS conf
+        FROM staged
+    ),
+    picked AS (
+        SELECT CAST(least(CAST(floor(conf * {N_CAL_BINS}) AS BIGINT),
+                          {N_CAL_BINS - 1}) AS BIGINT) AS bin,
+               conf,
+               CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS correct
+        FROM conf_t WHERE rn = 1
+    ),
+    bins AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(conf), 6) AS avg_confidence,
+               round(avg(CAST(correct AS DOUBLE)), 6) AS accuracy
+        FROM picked GROUP BY bin
+    )
+    SELECT bin, n_docs, avg_confidence, accuracy,
+           round(sum(n_docs * abs(accuracy - avg_confidence)) OVER ()
+                 / sum(n_docs) OVER (), 6) AS ece
+    FROM bins
+    ORDER BY bin
 """

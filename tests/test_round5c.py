@@ -1197,3 +1197,48 @@ def test_new_vs_returning_vs_python(spark):
         assert got[d].active_users == new + ret
     # conservation: every user is new exactly once
     assert sum(v[0] for v in per_day.values()) == len(first)
+
+
+# ---------------------------------------------------------------------------
+# llm/nb.py — calibration bins vs a Python softmax/binning twin.
+
+
+def test_calibration_bins_vs_python(spark):
+    import math as m
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.llm.nb import (
+        N_CAL_BINS,
+        _per_class_scores,
+        ml_calibration_bins,
+    )
+
+    rows = _per_class_scores(spark, SF_SMOKE).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    bins = defaultdict(lambda: [0, 0.0, 0])
+    for scores in by_doc.values():
+        scores.sort(key=lambda r: (-r.score, r.lang))
+        top = scores[0]
+        smax = max(r.score for r in scores)
+        conf = 1.0 / sum(m.exp(r.score - smax) for r in scores)
+        b = min(int(conf * N_CAL_BINS), N_CAL_BINS - 1)
+        bins[b][0] += 1
+        bins[b][1] += conf
+        bins[b][2] += 1 if top.lang == top.true_lang else 0
+    got = {r.bin: r for r in ml_calibration_bins(spark, SF_SMOKE).collect()}
+    assert set(got) == set(bins)
+    n_total = sum(v[0] for v in bins.values())
+    ece = sum(
+        v[0] * abs(round(v[2] / v[0], 6) - round(v[1] / v[0], 6))
+        for v in bins.values()
+    ) / n_total
+    for b, (n, csum, corr) in bins.items():
+        r = got[b]
+        assert r.n_docs == n
+        assert abs(r.avg_confidence - round(csum / n, 6)) < 1e-6
+        assert abs(r.accuracy - round(corr / n, 6)) < 1e-6
+        assert abs(r.ece - round(ece, 6)) < 1e-5
+        # softmax of 5 classes bounds confidence to [1/5, 1]
+        assert 1.0 / 5 - 1e-9 <= r.avg_confidence <= 1.0
