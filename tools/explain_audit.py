@@ -635,6 +635,30 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"Window", r"hashpartitioning\(_pid"],
         [r"EvalPython", r"CartesianProduct"],
     ),
+    # chi-square independence: one conditional-count pass to the bounded
+    # contingency table; windows only on that frame
+    "dq_chi2_independence": (
+        [r"HashAggregate", r"partial_"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
+    # top movers: fact pass with broadcast dims, per-nation lag window,
+    # global top-k as TakeOrderedAndProject
+    "olap_top_movers": (
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"EvalPython"],
+    ),
+    # new vs returning: distinct + first-day agg + broadcast-GATED join
+    # (|users| grows with the corpus — maybe_broadcast decides)
+    "olap_new_vs_returning": (
+        [r"HashAggregate"],
+        [r"CartesianProduct", r"EvalPython", r"Window"],
+    ),
+    # calibration: the one corpus pass is the scoring join; softmax and
+    # binning are windows over ≤|classes| rows per doc
+    "ml_calibration_bins": (
+        [r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"EvalPython", r"InPandas"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
