@@ -499,3 +499,97 @@ ORACLE["text_source_vocab_overlap"] = """
     ORDER BY vocab_jaccard DESC, src_a, src_b
     LIMIT 20
 """
+
+
+NOVELTY_SPLIT_MOD, NOVELTY_TRAIN_PARTS = 10, 8
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty — the memorization/contamination metric an
+    LLM-eval pipeline runs between train and eval corpora: what fraction
+    of the held-out split's distinct {1,2,3}-grams never appear in the
+    training split? (Low novelty ⇒ the eval set is largely memorizable
+    from train — the inverse signal of ``decontam_ngram``.) Split by the
+    ``ml_nb_*`` doc_id rule so the corpora line up with the classifier
+    keys. Per n: distinct held-out n-grams, the unseen count via ONE
+    LEFT ANTI join on the n-gram string (never a cross product), novelty
+    ratio from exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.pmod("doc_id", F.lit(NOVELTY_SPLIT_MOD)) < NOVELTY_TRAIN_PARTS)
+    test = d.filter(F.pmod("doc_id", F.lit(NOVELTY_SPLIT_MOD)) >= NOVELTY_TRAIN_PARTS)
+
+    def grams(df: DataFrame) -> DataFrame:
+        """Distinct (n, gram) pairs for n ∈ {1,2,3} — ALL gram sizes in
+        ONE corpus pass and ONE anti join (the per-n formulation cost 3
+        explodes per side and 3 joins; ×10 probe 43.7 → 34.5 s — the
+        residual floor is the distinct+shuffle over the ~3·|grams| rows
+        the fused explode emits, the same class as winnowing's 76 s)."""
+        per_n = [
+            f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+            f" i -> struct({n}L as n, array_join(slice(toks, i, {n}), ' ') as g))"
+            for n in (1, 2, 3)
+        ]
+        return (
+            df.select(F.split("text", " ").alias("toks"))
+            .select(F.explode(F.expr(f"concat({', '.join(per_n)})")).alias("s"))
+            .select("s.n", "s.g")
+            .distinct()
+        )
+
+    te = grams(test).localCheckpoint()  # feeds the census AND the anti join
+    unseen = (
+        te.join(grams(train), ["n", "g"], "left_anti")
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("unseen"))
+    )
+    census = te.groupBy("n").agg(F.count("*").cast("long").alias("test_ngrams"))
+    return (
+        census.join(unseen, "n", "left")
+        .select(
+            "n",
+            "test_ngrams",
+            F.coalesce("unseen", F.lit(0)).cast("long").alias("unseen"),
+            F.round(
+                F.coalesce("unseen", F.lit(0)) / F.col("test_ngrams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("n")
+    )
+
+
+QUERIES["text_ngram_novelty"] = text_ngram_novelty
+ORACLE["text_ngram_novelty"] = f"""
+    WITH train AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % {NOVELTY_SPLIT_MOD} < {NOVELTY_TRAIN_PARTS}
+    ),
+    test AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % {NOVELTY_SPLIT_MOD} >= {NOVELTY_TRAIN_PARTS}
+    ),
+    {", ".join(
+        f'''tr{n} AS (
+            SELECT DISTINCT unnest([array_to_string(t[i:i+{n - 1}], ' ')
+                                    for i in range(1, len(t) - {n - 2})]) AS g
+            FROM train WHERE len(t) >= {n}
+        ),
+        te{n} AS (
+            SELECT DISTINCT unnest([array_to_string(t[i:i+{n - 1}], ' ')
+                                    for i in range(1, len(t) - {n - 2})]) AS g
+            FROM test WHERE len(t) >= {n}
+        )'''
+        for n in (1, 2, 3)
+    )}
+    {" UNION ALL ".join(
+        f'''SELECT CAST({n} AS BIGINT) AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM te{n}) AS test_ngrams,
+               (SELECT CAST(count(*) AS BIGINT) FROM te{n}
+                WHERE g NOT IN (SELECT g FROM tr{n})) AS unseen,
+               round((SELECT count(*) FROM te{n}
+                      WHERE g NOT IN (SELECT g FROM tr{n}))
+                     / (SELECT CAST(count(*) AS DOUBLE) FROM te{n}), 6)
+                   AS novelty'''
+        for n in (1, 2, 3)
+    )}
+    ORDER BY n
+"""

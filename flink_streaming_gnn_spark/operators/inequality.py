@@ -247,3 +247,37 @@ ORACLE["agg_theil_index"] = """
            round(-avg(ln(x / mu)), 6) AS theil_l
     FROM rev, m
 """
+
+
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue —
+    the antitrust-grade market-concentration scalar next to the Gini
+    and Theil indices: HHI = Σ share_i² (0 → atomized, 1 → monopoly),
+    plus the equivalent-competitor count 1/HHI. Like Theil, NO global
+    sort: one distributed revenue aggregate, one 1-row total broadcast
+    back, one final sum of squared shares."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("x")
+    )
+    tot = rev.agg(F.sum("x").alias("t"))
+    share = F.col("x") / F.col("t")
+    return rev.join(F.broadcast(tot)).agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.round(F.sum(share * share), 6).alias("hhi"),
+        F.round(1.0 / F.sum(share * share), 6).alias("effective_n"),
+    )
+
+
+QUERIES["agg_hhi_concentration"] = agg_hhi_concentration
+ORACLE["agg_hhi_concentration"] = """
+    WITH rev AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS x
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT sum(x) AS t FROM rev)
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum((x / t) * (x / t)), 6) AS hhi,
+           round(1.0 / sum((x / t) * (x / t)), 6) AS effective_n
+    FROM rev, t
+"""

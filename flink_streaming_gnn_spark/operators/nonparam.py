@@ -209,3 +209,78 @@ ORACLE["dq_chi2_independence"] = """
                               count(DISTINCT weekday) - 1)), 6) AS cramers_v
     FROM scored
 """
+
+
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness on the daily demand
+    direction — "do up/down days cluster more than chance?", the
+    serial-dependence screen a forecaster runs before trusting ACF/PACF
+    estimates. Signs come from the exact-integer daily deltas (zero
+    deltas dropped, standard practice); the run count is 1 + Σ(sign
+    changes) via one lag over the calendar-bounded series; the normal
+    approximation z = (R − μ)/σ with μ = 2·n₊·n₋/n + 1 and
+    σ² = (μ−1)(μ−2)/(n−1) is closed-form integer arithmetic until the
+    final sqrt."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    wl = Window.orderBy("day")
+    signs = (
+        daily.select(
+            "day", (F.col("qty") - F.lag("qty").over(wl)).alias("delta")
+        )
+        .filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+        .select("day", F.signum("delta").cast("int").alias("s"))
+    )
+    runs = signs.select(
+        "s",
+        (F.col("s") != F.lag("s").over(Window.orderBy("day")))
+        .cast("long")
+        .alias("chg"),
+    ).agg(
+        F.sum((F.col("s") > 0).cast("long")).cast("long").alias("n_up"),
+        F.sum((F.col("s") < 0).cast("long")).cast("long").alias("n_down"),
+        (F.coalesce(F.sum("chg"), F.lit(0)) + 1).cast("long").alias("n_runs"),
+    )
+    np_, nm = F.col("n_up").cast("double"), F.col("n_down").cast("double")
+    n = np_ + nm
+    mu = 2.0 * np_ * nm / n + 1.0
+    sigma = F.sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0))
+    return runs.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round((F.col("n_runs") - mu) / sigma, 6).alias("z_score"),
+    )
+
+
+QUERIES["ts_runs_test"] = ts_runs_test
+ORACLE["ts_runs_test"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', l_shipdate) AS day,
+               CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1
+    ),
+    signs AS (
+        SELECT day, sign(delta) AS s FROM (
+            SELECT day, qty - lag(qty) OVER (ORDER BY day) AS delta
+            FROM daily
+        ) WHERE delta IS NOT NULL AND delta <> 0
+    ),
+    runs AS (
+        SELECT CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+               CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+               CAST(coalesce(sum(CASE WHEN s <> prev THEN 1 ELSE 0 END), 0)
+                    + 1 AS BIGINT) AS n_runs
+        FROM (
+            SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM signs
+        )
+    )
+    SELECT n_up, n_down, n_runs,
+           round((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+                 / sqrt((2.0 * n_up * n_down / (n_up + n_down))
+                        * (2.0 * n_up * n_down / (n_up + n_down) - 1.0)
+                        / (n_up + n_down - 1.0)), 6) AS z_score
+    FROM runs
+"""

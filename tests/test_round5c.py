@@ -1242,3 +1242,79 @@ def test_calibration_bins_vs_python(spark):
         assert abs(r.ece - round(ece, 6)) < 1e-5
         # softmax of 5 classes bounds confidence to [1/5, 1]
         assert 1.0 / 5 - 1e-9 <= r.avg_confidence <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# final 5d trio: HHI, n-gram novelty, runs test vs Python twins.
+
+
+def test_hhi_vs_python(spark):
+    from collections import defaultdict
+
+    from flink_streaming_gnn_spark.operators.inequality import (
+        agg_hhi_concentration,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rev = defaultdict(float)
+    for r in load_table(spark, SF_SMOKE, "lineitem").collect():
+        rev[r.l_suppkey] += r.l_extendedprice * (1 - r.l_discount)
+    t = sum(rev.values())
+    hhi = sum((x / t) ** 2 for x in rev.values())
+    r = agg_hhi_concentration(spark, SF_SMOKE).collect()[0]
+    assert r.n_suppliers == len(rev)
+    assert abs(r.hhi - hhi) < 1e-6
+    assert abs(r.effective_n - 1 / hhi) < 1e-3
+    assert 1.0 / len(rev) - 1e-9 <= r.hhi <= 1.0  # mathematical bounds
+
+
+def test_ngram_novelty_vs_python(spark):
+    from flink_streaming_gnn_spark.llm.textstats import (
+        NOVELTY_SPLIT_MOD,
+        NOVELTY_TRAIN_PARTS,
+        text_ngram_novelty,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+
+    def gram_set(rows, n):
+        out = set()
+        for r in rows:
+            t = r.text.split(" ")
+            for i in range(len(t) - n + 1):
+                out.add(" ".join(t[i : i + n]))
+        return out
+
+    train = [r for r in docs if r.doc_id % NOVELTY_SPLIT_MOD < NOVELTY_TRAIN_PARTS]
+    test = [r for r in docs if r.doc_id % NOVELTY_SPLIT_MOD >= NOVELTY_TRAIN_PARTS]
+    got = {r.n: r for r in text_ngram_novelty(spark, SF_SMOKE).collect()}
+    for n in (1, 2, 3):
+        te, tr = gram_set(test, n), gram_set(train, n)
+        unseen = len(te - tr)
+        assert got[n].test_ngrams == len(te)
+        assert got[n].unseen == unseen
+        assert abs(got[n].novelty - round(unseen / len(te), 6)) < 1e-9
+    # novelty grows with n (longer grams are rarer to have been seen)
+    assert got[1].novelty <= got[2].novelty <= got[3].novelty
+
+
+def test_runs_test_vs_python(spark):
+    import math as m
+
+    from flink_streaming_gnn_spark.operators.nonparam import ts_runs_test
+
+    daily = _daily_qty(spark)
+    signs = []
+    for (_, q0), (_, q1) in zip(daily, daily[1:]):
+        if q1 != q0:
+            signs.append(1 if q1 > q0 else -1)
+    n_up = sum(1 for s in signs if s > 0)
+    n_down = len(signs) - n_up
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n = n_up + n_down
+    mu = 2 * n_up * n_down / n + 1
+    sigma = m.sqrt((mu - 1) * (mu - 2) / (n - 1))
+    r = ts_runs_test(spark, SF_SMOKE).collect()[0]
+    assert (r.n_up, r.n_down, r.n_runs) == (n_up, n_down, runs)
+    assert abs(r.z_score - round((runs - mu) / sigma, 6)) < 1e-6

@@ -659,6 +659,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"Window"],
         [r"CartesianProduct", r"EvalPython", r"InPandas"],
     ),
+    # HHI: like Theil — no window, no sort, one agg + 1-row broadcast
+    "agg_hhi_concentration": (
+        [r"HashAggregate", r"partial_"],
+        [r"Window", r"EvalPython", r"SortMergeJoin"],
+    ),
+    # runs test: daily agg + one lag window on the calendar frame
+    # (n-gram novelty's output is driver-assembled from bounded counts,
+    # so it has no single checkable plan — its shape is pinned in the
+    # module docstring and the ×10 probe instead)
+    "ts_runs_test": (
+        [r"HashAggregate", r"Window"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
 }
 
 # query -> gating table: BroadcastHashJoin is asserted only when the table's
