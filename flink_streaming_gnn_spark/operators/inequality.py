@@ -281,3 +281,79 @@ ORACLE["agg_hhi_concentration"] = """
            round(1.0 / sum((x / t) * (x / t)), 6) AS effective_n
     FROM rev, t
 """
+
+
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve at decile resolution — the distribution behind
+    the Gini/Theil/HHI scalars ("the top decile books X% of revenue"):
+    per revenue decile, supplier count, revenue share and cumulative
+    share. Deciles come from EXACT percentile cut points broadcast back
+    (the ``agg_trimmed_winsorized_mean`` discipline — rounded cuts so
+    both engines bucket the identical row set; no global sort, no
+    unpartitioned ntile — the ``user_rfm_segments`` scale lesson); the
+    cumulative share is a window over the 10-row frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("x")
+    )
+    cuts = rev.agg(
+        *[
+            F.round(F.percentile("x", F.lit(i / 10)), 4).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(F.col("x") > F.col(f"c{i}"), 1).otherwise(0)
+    binned = rev.join(F.broadcast(cuts)).select(
+        decile.cast("long").alias("decile"), "x"
+    )
+    per_d = binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("x").alias("rev_d"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_d.select(
+        "decile",
+        "n_suppliers",
+        F.round(F.col("rev_d") / F.sum("rev_d").over(wall), 6).alias("rev_share"),
+        F.round(
+            F.sum("rev_d").over(wcum) / F.sum("rev_d").over(wall), 6
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
+QUERIES["agg_lorenz_deciles"] = agg_lorenz_deciles
+ORACLE["agg_lorenz_deciles"] = f"""
+    WITH rev AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS x
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    cuts AS (
+        SELECT {", ".join(
+            f"round(quantile_cont(x, {i / 10}), 4) AS c{i}" for i in range(1, 10)
+        )}
+        FROM rev
+    ),
+    binned AS (
+        SELECT CAST(1 {" ".join(
+            f"+ CASE WHEN x > c{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+        )} AS BIGINT) AS decile, x
+        FROM rev, cuts
+    ),
+    per_d AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               sum(x) AS rev_d
+        FROM binned GROUP BY decile
+    )
+    SELECT decile, n_suppliers,
+           round(rev_d / sum(rev_d) OVER (), 6) AS rev_share,
+           round(sum(rev_d) OVER (ORDER BY decile
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                 / sum(rev_d) OVER (), 6) AS cum_share
+    FROM per_d
+    ORDER BY decile
+"""

@@ -1318,3 +1318,37 @@ def test_runs_test_vs_python(spark):
     r = ts_runs_test(spark, SF_SMOKE).collect()[0]
     assert (r.n_up, r.n_down, r.n_runs) == (n_up, n_down, runs)
     assert abs(r.z_score - round((runs - mu) / sigma, 6)) < 1e-6
+
+
+def test_lorenz_deciles_vs_python(spark):
+    from collections import defaultdict
+
+    import numpy as np
+
+    from flink_streaming_gnn_spark.operators.inequality import agg_lorenz_deciles
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rev = defaultdict(float)
+    for r in load_table(spark, SF_SMOKE, "lineitem").collect():
+        rev[r.l_suppkey] += r.l_extendedprice * (1 - r.l_discount)
+    xs = np.array(list(rev.values()))
+    cuts = [round(float(np.percentile(xs, 10 * i)), 4) for i in range(1, 10)]
+    per_d = defaultdict(lambda: [0, 0.0])
+    for x in xs:
+        d = 1 + sum(1 for c in cuts if x > c)
+        per_d[d][0] += 1
+        per_d[d][1] += x
+    total = sum(v[1] for v in per_d.values())
+    got = {r.decile: r for r in agg_lorenz_deciles(spark, SF_SMOKE).collect()}
+    assert set(got) == set(per_d)
+    cum = 0.0
+    for d in sorted(per_d):
+        n, s = per_d[d]
+        cum += s
+        assert got[d].n_suppliers == n
+        assert abs(got[d].rev_share - round(s / total, 6)) < 1e-5
+        assert abs(got[d].cum_share - round(cum / total, 6)) < 1e-5
+    # Lorenz properties: cumulative shares increase to 1, top decile
+    # holds at least its population share
+    assert abs(got[max(got)].cum_share - 1.0) < 1e-6
+    assert got[max(got)].rev_share >= 0.1 - 1e-9

@@ -664,6 +664,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"partial_"],
         [r"Window", r"EvalPython", r"SortMergeJoin"],
     ),
+    # Lorenz deciles: percentile cuts broadcast — the only window runs
+    # on the 10-row decile frame, never an unpartitioned corpus ntile
+    "agg_lorenz_deciles": (
+        [r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        [r"EvalPython", r"SortMergeJoin", r"ntile"],
+    ),
     # runs test: daily agg + one lag window on the calendar frame
     # (n-gram novelty's output is driver-assembled from bounded counts,
     # so it has no single checkable plan — its shape is pinned in the
