@@ -668,7 +668,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # on the 10-row decile frame, never an unpartitioned corpus ntile
     "agg_lorenz_deciles": (
         [r"HashAggregate", r"BroadcastNestedLoopJoin"],
-        [r"EvalPython", r"SortMergeJoin", r"ntile"],
+        [r"EvalPython", r"SortMergeJoin", r"\bntile\("],
     ),
     # runs test: daily agg + one lag window on the calendar frame
     # (n-gram novelty's output is driver-assembled from bounded counts,
