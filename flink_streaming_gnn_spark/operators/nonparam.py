@@ -284,3 +284,107 @@ ORACLE["ts_runs_test"] = """
                         / (n_up + n_down - 1.0)), 6) AS z_score
     FROM runs
 """
+
+
+B_RESAMPLES = 32
+# quantized-Poisson(1) weight table on one md5 nibble (16 outcomes):
+# P(0)=6/16, P(1)=6/16, P(2)=3/16, P(4)=1/16 — mean exactly 1, the
+# deterministic stand-in for the Poisson bootstrap's w ~ Poisson(1)
+_W_TABLE = [0] * 6 + [1] * 6 + [2] * 3 + [4]
+
+
+def agg_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order revenue via the
+    POISSON BOOTSTRAP (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012) — the one-pass distributed
+    bootstrap: instead of materializing B resamples, every row draws an
+    independent ~Poisson(1) weight per replicate and all B weighted
+    means are computed in a SINGLE aggregation pass. This is THE way to
+    put error bars on a statistic at 100 TB (resampling passes are
+    unaffordable; weights ride the existing scan).
+
+    Deterministic, engine-portable draws: replicate b's weight for an
+    order is a quantized-Poisson table lookup on one md5 nibble of
+    ``orderkey_b`` (mean exactly 1 — the md5-nibble discipline). The CI
+    is the 2.5%/97.5% exact interpolated quantile of the B = 32
+    replicate means — a bounded 32-value tail computation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y")
+    )
+    table = F.array(*[F.lit(w) for w in _W_TABLE])
+
+    def weight(b: int):
+        nib = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("l_orderkey"), F.lit(str(b)))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        return F.element_at(table, nib + 1)
+
+    agg = per_order.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.avg("y"), 4).alias("mean_rev"),
+        *[F.sum(weight(b) * F.col("y")).alias(f"s{b}") for b in range(B_RESAMPLES)],
+        *[F.sum(weight(b)).cast("long").alias(f"w{b}") for b in range(B_RESAMPLES)],
+    )
+    means = F.array(
+        *[(F.col(f"s{b}") / F.col(f"w{b}")) for b in range(B_RESAMPLES)]
+    )
+    return (
+        agg.select("n_orders", "mean_rev", F.explode(means).alias("m"))
+        .groupBy("n_orders", "mean_rev")
+        .agg(
+            F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+        )
+    )
+
+
+QUERIES["agg_bootstrap_ci_poisson"] = agg_bootstrap_ci_poisson
+
+
+def _bootstrap_oracle() -> str:
+    # weight expression for replicate b in DuckDB: nibble → table lookup
+    tbl = "[" + ", ".join(str(w) for w in _W_TABLE) + "]"
+
+    def w(b: int) -> str:
+        return (
+            f"{tbl}[strpos('0123456789abcdef',"
+            f" substr(md5(CAST(l_orderkey AS VARCHAR) || '_{b}'), 1, 1))]"
+        )
+
+    s_cols = ",\n               ".join(
+        f"sum({w(b)} * y) AS s{b}" for b in range(B_RESAMPLES)
+    )
+    w_cols = ",\n               ".join(
+        f"CAST(sum({w(b)}) AS BIGINT) AS w{b}" for b in range(B_RESAMPLES)
+    )
+    means = ", ".join(f"s{b} / w{b}" for b in range(B_RESAMPLES))
+    return f"""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS y
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   round(avg(y), 4) AS mean_rev,
+                   {s_cols},
+                   {w_cols}
+            FROM per_order
+        ),
+        m AS (
+            SELECT n_orders, mean_rev, unnest([{means}]) AS m FROM agg
+        )
+        SELECT n_orders, mean_rev,
+               round(quantile_cont(m, 0.025), 4) AS ci_lo,
+               round(quantile_cont(m, 0.975), 4) AS ci_hi
+        FROM m GROUP BY n_orders, mean_rev
+    """
+
+
+ORACLE["agg_bootstrap_ci_poisson"] = _bootstrap_oracle()

@@ -1352,3 +1352,44 @@ def test_lorenz_deciles_vs_python(spark):
     # holds at least its population share
     assert abs(got[max(got)].cum_share - 1.0) < 1e-6
     assert got[max(got)].rev_share >= 0.1 - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# operators/nonparam.py — Poisson bootstrap vs a Python twin, plus the
+# statistical sanity that the CI brackets the point estimate.
+
+
+def test_bootstrap_ci_vs_python(spark):
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+
+    from flink_streaming_gnn_spark.operators.nonparam import (
+        B_RESAMPLES,
+        _W_TABLE,
+        agg_bootstrap_ci_poisson,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rev = defaultdict(float)
+    for r in load_table(spark, SF_SMOKE, "lineitem").collect():
+        rev[r.l_orderkey] += r.l_extendedprice * (1 - r.l_discount)
+    means = []
+    for b in range(B_RESAMPLES):
+        s = wsum = 0.0
+        for k, y in rev.items():
+            nib = int(hashlib.md5(f"{k}_{b}".encode()).hexdigest()[0], 16)
+            w = _W_TABLE[nib]
+            s += w * y
+            wsum += w
+        means.append(s / wsum)
+    lo = float(np.percentile(means, 2.5))
+    hi = float(np.percentile(means, 97.5))
+    r = agg_bootstrap_ci_poisson(spark, SF_SMOKE).collect()[0]
+    assert r.n_orders == len(rev)
+    assert abs(r.ci_lo - round(lo, 4)) < 1e-3
+    assert abs(r.ci_hi - round(hi, 4)) < 1e-3
+    assert r.ci_lo < r.mean_rev < r.ci_hi  # CI brackets the estimate
+    # weight table is mean-1 (unbiased resample size)
+    assert sum(_W_TABLE) == len(_W_TABLE)

@@ -670,6 +670,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"HashAggregate", r"BroadcastNestedLoopJoin"],
         [r"EvalPython", r"SortMergeJoin", r"\bntile\("],
     ),
+    # Poisson bootstrap: ALL replicate sums in ONE aggregation pass —
+    # 2B conditional aggregates over one scan, no per-replicate jobs
+    "agg_bootstrap_ci_poisson": (
+        [r"HashAggregate", r"partial_"],
+        [r"Join", r"EvalPython", r"InPandas"],
+    ),
     # runs test: daily agg + one lag window on the calendar frame
     # (n-gram novelty's output is driver-assembled from bounded counts,
     # so it has no single checkable plan — its shape is pinned in the
