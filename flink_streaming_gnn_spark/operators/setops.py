@@ -92,3 +92,40 @@ ORACLE = {
         SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
     """,
 }
+
+
+def set_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference — the one classical set op the family above
+    was missing, on a pair that genuinely differs at every sf: parts
+    shipped in 1995 vs parts shipped in 2000 (assortment churn — parts
+    sold in exactly one of the two years, tagged with which). Two EXCEPT
+    legs + a bag union; both legs are hash anti-semantics on the value,
+    no sort anywhere. Output is bounded by |parts|."""
+
+    def sold_in(year: int) -> DataFrame:
+        return (
+            _t(spark, sf_dir, "lineitem")
+            .filter(F.year("l_shipdate") == year)
+            .select(F.col("l_partkey").alias("partkey"))
+            .distinct()
+        )
+
+    a, b = sold_in(1995), sold_in(2000)
+    only_a = a.exceptAll(b).withColumn("side", F.lit("only_1995"))
+    only_b = b.exceptAll(a).withColumn("side", F.lit("only_2000"))
+    return only_a.unionByName(only_b).orderBy("partkey", "side")
+
+
+QUERIES["set_symmetric_difference"] = set_symmetric_difference
+ORACLE["set_symmetric_difference"] = """
+    WITH a AS (SELECT DISTINCT l_partkey AS partkey FROM lineitem
+               WHERE year(l_shipdate) = 1995),
+    b AS (SELECT DISTINCT l_partkey AS partkey FROM lineitem
+          WHERE year(l_shipdate) = 2000)
+    SELECT partkey, 'only_1995' AS side
+    FROM (SELECT partkey FROM a EXCEPT SELECT partkey FROM b)
+    UNION ALL
+    SELECT partkey, 'only_2000' AS side
+    FROM (SELECT partkey FROM b EXCEPT SELECT partkey FROM a)
+    ORDER BY partkey, side
+"""

@@ -1393,3 +1393,26 @@ def test_bootstrap_ci_vs_python(spark):
     assert r.ci_lo < r.mean_rev < r.ci_hi  # CI brackets the estimate
     # weight table is mean-1 (unbiased resample size)
     assert sum(_W_TABLE) == len(_W_TABLE)
+
+
+def test_symmetric_difference_vs_python(spark):
+    from flink_streaming_gnn_spark.operators.setops import (
+        set_symmetric_difference,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_shipdate"
+    ).collect()
+    a = {r.l_partkey for r in rows if r.l_shipdate.year == 1995}
+    b = {r.l_partkey for r in rows if r.l_shipdate.year == 2000}
+    want = {(p, "only_1995") for p in a - b} | {(p, "only_2000") for p in b - a}
+    got = {
+        (r.partkey, r.side)
+        for r in set_symmetric_difference(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # sanity: no part appears on both sides
+    sides = {}
+    for p, s in got:
+        assert sides.setdefault(p, s) == s
