@@ -26,21 +26,28 @@ integer arithmetic (``5·inter ≥ 4·|sh_a|`` and
 the two engines to disagree on; the emitted containment value is the
 rounded ratio, computed identically in both.
 
-EXACT-CLONE COLLAPSE FIRST (the ``dedup_ngram_jaccard`` discipline —
-and a real scale lesson the ×10 probe taught this module on day one):
-on a corpus with heavy exact replication, running the prefix join on
-raw doc_ids makes every clone's posting-list entry a candidate partner
-of every other clone's — the candidate set grows with clones², melting
-the probe. Identical texts are therefore collapsed to a min-doc_id
-representative before the shingle/prefix machinery, and the full
-directed pair list is recovered exactly afterwards: clones share their
-representative's shingle set verbatim, so a cross-group pair inherits
-its representatives' containment, and a within-group pair is
-identically 1.0 (a set contains itself). The prefix filter's shingle
-order is computed over representatives — correctness of the filter
-needs only a FIXED global order (the pigeonhole argument never uses
-rarity; rarity is the fan-out heuristic), so dedup'd frequencies are
-as valid as raw ones.
+GROUP-LEVEL OUTPUT CONTRACT (the ``dedup_image_hamming_pairs``
+discipline, VERDICT r5 "What's wrong" #1): exact clones are collapsed
+to a min-doc_id representative BEFORE the shingle/prefix machinery,
+and — unlike the round-5 version, which expanded the result back to
+the full directed doc-level pair list — the registered result STAYS at
+group granularity: one row per qualifying (group_a, group_b)
+representative pair carrying both member counts, plus one
+self-containment row per clone group of size ≥ 2. The information
+content is identical (a clone group of size c encodes its c·(c−1)
+within-group containment=1.0 pairs in ONE row via n; a cross pair
+encodes n_a·n_b doc pairs), but the output is LINEAR in distinct
+content instead of Θ(clones²): on a web-scale corpus the round-5
+contract spent most of its ×10 probe wall-clock literally writing
+1.0 rows by construction. The doc-level expansion survives as
+``containment_doc_pairs`` for bounded fixtures (the zero-miss pytest
+uses it); pipelines that need doc granularity join the group rows
+back through the member mapping on exactly the rows they consume.
+
+The prefix filter's shingle order is computed over representatives —
+correctness of the filter needs only a FIXED global order (the
+pigeonhole argument never uses rarity; rarity is the fan-out
+heuristic), so dedup'd frequencies are as valid as raw ones.
 """
 
 from __future__ import annotations
@@ -98,20 +105,82 @@ def _rep_containment_pairs(d: DataFrame) -> DataFrame:
     )
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed near-containment pairs: (doc_a contained-in doc_b) with
-    trigram-shingle containment ≥ 4/5 — exact-clone collapse, prefix
-    filter on representatives, exact pair recovery (module docstring)."""
+def _clone_groups(spark: SparkSession, sf_dir: str):
+    """(keyed, groups): docs keyed by text-hash, and per-clone-group
+    (th, rep_id = min doc_id, n = member count)."""
     keyed = (
         load_table(spark, sf_dir, "documents")
         .withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
         .select("doc_id", "text", F.xxhash64("text").alias("th"))
     )
-    reps = keyed.groupBy("th").agg(F.min("doc_id").alias("rep_id"))
-    members = keyed.join(maybe_broadcast(reps), "th").select("doc_id", "rep_id")
+    groups = keyed.groupBy("th").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").cast("long").alias("n")
+    )
+    return keyed, groups
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level near-containment: one row per qualifying pair of
+    exact-clone groups (group keyed by its min-doc_id representative),
+    trigram-shingle containment ≥ 4/5, with member counts — plus one
+    containment=1.0 self row per clone group of size ≥ 2 (module
+    docstring: output linear in distinct content, never clones²)."""
+    keyed, groups = _clone_groups(spark, sf_dir)
+    # pin the two clone-collapsed frames ONCE: both are linear in
+    # DISTINCT content (reps only — 1/clones of the corpus), and the
+    # prefix machinery references them ~5× each (freq, ranked, posting
+    # list, and both verify sides); without the checkpoint every use
+    # re-runs the full corpus scan + hash-group lineage, which is where
+    # the round-5 ×10 probe spent 55 of its 68 s
+    groups = groups.localCheckpoint()
     rep_sh = (
-        keyed.join(maybe_broadcast(reps), "th")
+        keyed.join(maybe_broadcast(groups.select("th", "rep_id")), "th")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+        .localCheckpoint()
+    )
+    rep_pairs = _rep_containment_pairs(rep_sh)
+    size_a = groups.select(
+        F.col("rep_id").alias("doc_a"), F.col("n").alias("n_a")
+    )
+    size_b = groups.select(
+        F.col("rep_id").alias("doc_b"), F.col("n").alias("n_b")
+    )
+    cross = (
+        rep_pairs.join(maybe_broadcast(size_a), "doc_a")
+        .join(maybe_broadcast(size_b), "doc_b")
+        .select(
+            F.col("doc_a").alias("group_a"),
+            F.col("doc_b").alias("group_b"),
+            "containment",
+            "n_a",
+            "n_b",
+        )
+    )
+    selfc = groups.filter(F.col("n") >= 2).select(
+        F.col("rep_id").alias("group_a"),
+        F.col("rep_id").alias("group_b"),
+        F.lit(1.0).alias("containment"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+    )
+    return cross.unionByName(selfc).orderBy("group_a", "group_b")
+
+
+def containment_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 doc-level expansion — full directed (doc_a, doc_b,
+    containment) pair list recovered exactly from the group rows
+    (clones share their representative's shingle set verbatim, so a
+    cross-group pair inherits its representatives' containment, and a
+    within-group pair is identically 1.0). Θ(clones²) output BY
+    CONTRACT — kept for bounded fixtures and for pipelines that
+    join-expand a bounded slice; not registered as a corpus query."""
+    keyed, groups = _clone_groups(spark, sf_dir)
+    members = keyed.join(maybe_broadcast(groups), "th").select("doc_id", "rep_id")
+    rep_sh = (
+        keyed.join(maybe_broadcast(groups), "th")
         .filter(F.col("doc_id") == F.col("rep_id"))
         .withColumn("toks", F.split("text", " "))
         .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
@@ -144,26 +213,45 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {"dedup_containment": dedup_containment}
 
 ORACLE = {
-    # the oracle verifies ALL directed pairs (no prefix filter) — a
+    # the oracle verifies ALL representative pairs (no prefix filter) — a
     # cross-formulation check that the prefix filter misses nothing,
-    # which is exactly its zero-miss guarantee
+    # which is exactly its zero-miss guarantee; groups are formed by raw
+    # text equality (the hash-free formulation of the Spark side's
+    # xxhash64 grouping)
     "dedup_containment": f"""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t
-            FROM documents WHERE len(string_split(text, ' ')) >= 3
+        WITH keyed AS (
+            SELECT doc_id, text FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        grp AS (
+            SELECT min(doc_id) AS rep_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   text
+            FROM keyed GROUP BY text
         ),
         sh AS (
-            SELECT doc_id,
+            SELECT rep_id, n,
                    list_distinct([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
                                   for i in range(1, len(t) - 1)]) AS sh
-            FROM toks
+            FROM (SELECT rep_id, n, string_split(text, ' ') AS t FROM grp)
+        ),
+        cross_pairs AS (
+            SELECT a.rep_id AS group_a, b.rep_id AS group_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                         / CAST(len(a.sh) AS DOUBLE), 4) AS containment,
+                   a.n AS n_a, b.n AS n_b
+            FROM sh a JOIN sh b ON a.rep_id <> b.rep_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * {CONT_DEN}
+                  >= {CONT_NUM} * CAST(len(a.sh) AS BIGINT)
+        ),
+        self_pairs AS (
+            SELECT rep_id AS group_a, rep_id AS group_b,
+                   1.0 AS containment, n AS n_a, n AS n_b
+            FROM grp WHERE n >= 2
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
-                     / CAST(len(a.sh) AS DOUBLE), 4) AS containment
-        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * {CONT_DEN}
-              >= {CONT_NUM} * CAST(len(a.sh) AS BIGINT)
-        ORDER BY doc_a, doc_b
+        SELECT * FROM cross_pairs
+        UNION ALL
+        SELECT * FROM self_pairs
+        ORDER BY group_a, group_b
     """,
 }

@@ -38,6 +38,11 @@ QUERY_ID = 0
 POOL = 24
 K = 8
 LAM = 0.7
+# diversity complement defined ONCE as its own literal, not computed as
+# 1 - LAM (which is 0.30000000000000004 in binary float): both the Python
+# greedy loop and the generated oracle SQL multiply by this exact constant,
+# so near-tied MMR argmax comparisons agree to the last ulp (ADVICE r5).
+MU = 0.3
 
 
 def simsearch_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +85,7 @@ def simsearch_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rank == 1:
                 score = rels[c]
             else:
-                score = LAM * rels[c] - (1 - LAM) * max(
+                score = LAM * rels[c] - MU * max(
                     sim6(c, s) for s in chosen
                 )
             if best is None or score > best[0] or (score == best[0] and c < best[1]):
@@ -117,7 +122,7 @@ def _mmr_oracle() -> str:
         steps.append(f"""
         sel{k} AS MATERIALIZED (
             SELECT CAST({k} AS BIGINT) AS rank, c.vec_id, c.rel,
-                   {LAM} * c.rel - {round(1 - LAM, 10)} * max(s.s) AS mmr
+                   {LAM} * c.rel - {MU} * max(s.s) AS mmr
             FROM cand c
             JOIN sims s ON s.ia = c.vec_id
                        AND s.ib IN (SELECT vec_id FROM all{k - 1})

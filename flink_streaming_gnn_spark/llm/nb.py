@@ -352,7 +352,14 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = (
         staged.withColumn("rn", F.row_number().over(wr))
         .withColumn(
-            "conf", 1.0 / F.sum(F.exp(F.col("score") - F.col("smax"))).over(wd)
+            # rounded to 6 dp BEFORE the floor(conf*10) binning: the softmax
+            # denominator is a float sum whose addition order is
+            # engine-dependent, so an unrounded conf within an ulp of a 0.1
+            # boundary could land in different bins per engine (ADVICE r5)
+            "conf",
+            F.round(
+                1.0 / F.sum(F.exp(F.col("score") - F.col("smax"))).over(wd), 6
+            ),
         )
         .filter(F.col("rn") == 1)
         .select(
@@ -397,8 +404,8 @@ ORACLE["ml_calibration_bins"] = f"""
         SELECT doc_id, true_lang, lang, score,
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY score DESC, lang) AS rn,
-               1.0 / sum(exp(score - smax))
-                         OVER (PARTITION BY doc_id) AS conf
+               round(1.0 / sum(exp(score - smax))
+                         OVER (PARTITION BY doc_id), 6) AS conf
         FROM staged
     ),
     picked AS (

@@ -27,8 +27,14 @@ TYPE_A, TYPE_B = "click", "view"
 
 
 def dq_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value IS NOT NULL in BOTH formulations (ADVICE r5): Spark sorts NULLs
+    # first, DuckDB last, and a NULL group would silently land in bucket 0
+    # (value > bound is NULL -> otherwise(0)) — midranks would diverge if
+    # events.value ever carried NULLs. Matches approxQuantile's own
+    # null-dropping behavior.
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin([TYPE_A, TYPE_B])
+        & F.col("value").isNotNull()
     )
     per_v = (
         ev.groupBy("value")
@@ -94,6 +100,7 @@ ORACLE = {
         WITH ev AS (
             SELECT value, event_type FROM events
             WHERE event_type IN ('{TYPE_A}', '{TYPE_B}')
+              AND value IS NOT NULL
         ),
         per_v AS (
             SELECT value,

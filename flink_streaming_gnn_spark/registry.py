@@ -244,10 +244,10 @@ _PRIORITY_KEYS_R4 = (
 # regression, path mining, Matryoshka, image-hamming groups, PACF,
 # motif census, A-ES, Theil, vocab richness, Holt–Winters,
 # trimmed/winsorized, vocab overlap, NB eval, FK audit — 39 total).
-# At 311 keys: 200 attested r1–r4 + 50 this round = 250 after r5,
-# leaving 61 never-attested → round 6 takes 50, the final 11 roll to
-# round 7 (rounds run to 20; the window math is regenerated per round
-# by tools/attestation_ledger.py).
+# Post-r5 recount at the final registry size of 323 keys: 250 attested
+# r1–r5, leaving 73 never-attested → round 6 takes 50, the final 23 roll
+# to round 7 (rounds run to 20; the window math is regenerated per round
+# by tools/attestation_ledger.py — see _PRIORITY_KEYS_R6 below).
 # The three keys with no DuckDB oracle (multimodal_decode_stub,
 # agg_hll_sketch_rollup, agg_approx_quantile) are pinned at the very end
 # so no round-5 window slot is spent on a rows-only row.
@@ -329,8 +329,99 @@ _PRIORITY_KEYS_R5 = (
     "agg_approx_quantile",
 )
 
-# Active attestation order for round 5.
-_PRIORITY_KEYS = _PRIORITY_KEYS_R5
+# Round-6 window (VERDICT r5 "Next round" #1): exactly the 73 keys never
+# attested across CORRECTNESS_r01..r05 — the 18-key tail of the r5 window
+# past position 50, plus the 51 round-5 additions, minus the r5-window
+# double-counts; recomputed from the artifacts by
+# tools/attestation_ledger.py and tools/check_keys.py. The driver records
+# the FIRST 50, so after round 6 the official ledger reads 300/323 and the
+# final 23 (18 oracle-checkable + the 5 rows-only keys pinned at the very
+# end: multimodal_decode_stub, agg_hll_sketch_rollup, agg_approx_quantile,
+# tokenizer_unigram_train, tokenizer_unigram_encode) roll to round 7.
+# The two round-5 `weak` keys (dedup_containment — group-level output
+# contract rewrite this round — and stream_scd2_e2e — closed-rows-only
+# emission diet) sit inside the first 50 deliberately, so the REWRITTEN
+# versions are what gets officially attested.
+_PRIORITY_KEYS_R6 = (
+    "stream_cep_funnel_e2e",
+    "ml_nb_train",
+    "ml_nb_score",
+    "ts_decompose_ma",
+    "stream_tumbling_append_e2e",
+    "graph_condensation_dag",
+    "stream_outer_join_e2e",
+    "tokenizer_bpe_encode",
+    "ml_knn_classify",
+    "ts_spectral_entropy",
+    "graph_rich_club",
+    "simsearch_binary_hamming",
+    "fn_url_canonicalize",
+    "fn_hash_digests",
+    "dedup_priority_survivor",
+    "olap_period_over_period",
+    "agg_gini_coefficient",
+    "text_zipf_fit",
+    "ts_cross_correlation",
+    "text_vocab_richness",
+    "text_source_vocab_overlap",
+    "text_ngram_novelty",
+    "multimodal_image_ahash",
+    "stream_dedup_ttl_e2e",
+    "dq_referential_integrity",
+    "set_symmetric_difference",
+    "ts_theil_sen_trend",
+    "agg_trimmed_winsorized_mean",
+    "olap_attribution_last_touch",
+    "olap_attribution_position",
+    "sample_weighted_ares",
+    "cep_absence_timeout",
+    "ml_eval_confusion",
+    "ml_calibration_bins",
+    "agg_theil_index",
+    "agg_hhi_concentration",
+    "agg_lorenz_deciles",
+    "graph_butterfly_count",
+    "graph_butterfly_per_vertex",
+    "dedup_containment",
+    "stream_scd2_e2e",
+    "dq_ks_drift",
+    "graph_temporal_wedge",
+    "stream_cc_e2e",
+    "olap_skyline_pareto",
+    "dq_benford_firstdigit",
+    "dq_js_divergence",
+    "ts_bollinger_bands",
+    "ts_rsi",
+    "ts_holt_winters",
+    # ---- position 50 boundary: keys below roll to the round-7 window ----
+    "mix_dsir_importance",
+    "ml_decision_stump",
+    "source_binaryfile_ingest",
+    "funnel_time_to_convert",
+    "simsearch_mmr_diversify",
+    "agg_multiple_regression",
+    "event_path_mining",
+    "emb_matryoshka_recall",
+    "dedup_image_hamming_pairs",
+    "ts_pacf_durbin_levinson",
+    "graph_motif_ffl_cycle",
+    "graph_dyad_census",
+    "dq_mann_whitney",
+    "dq_chi2_independence",
+    "ts_runs_test",
+    "agg_bootstrap_ci_poisson",
+    "olap_top_movers",
+    "olap_new_vs_returning",
+    # no-oracle (rows-only) keys last — round-7 remainder territory
+    "multimodal_decode_stub",
+    "agg_hll_sketch_rollup",
+    "agg_approx_quantile",
+    "tokenizer_unigram_train",
+    "tokenizer_unigram_encode",
+)
+
+# Active attestation order for round 6.
+_PRIORITY_KEYS = _PRIORITY_KEYS_R6
 
 
 def _reorder(d: dict, priority: tuple[str, ...]) -> dict:

@@ -420,10 +420,13 @@ def test_unigram_train_vs_python(spark):
 
 
 def test_containment_vs_python_bruteforce(spark):
+    # doc-level expansion (bounded fixture — the registered query is
+    # group-level; this pins the zero-miss prefix filter + exact
+    # clone-recovery on the full directed pair list)
     from flink_streaming_gnn_spark.llm.containment import (
         CONT_DEN,
         CONT_NUM,
-        dedup_containment,
+        containment_doc_pairs,
     )
     from flink_streaming_gnn_spark.sources.tables import load_table
 
@@ -446,8 +449,77 @@ def test_containment_vs_python_bruteforce(spark):
                 want[(a, b)] = round(inter / len(sa), 4)
     got = {
         (int(r.doc_a), int(r.doc_b)): r.containment
-        for r in dedup_containment(spark, SF_SMOKE).collect()
+        for r in containment_doc_pairs(spark, SF_SMOKE).collect()
     }
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_containment_group_contract_vs_python(spark):
+    # the REGISTERED group-level contract: rows are representative pairs
+    # + clone-group self rows; brute-force recomputed in Python from the
+    # raw texts, and the group rows must expand to exactly the doc-level
+    # pair list of the previous test (information preservation)
+    from flink_streaming_gnn_spark.llm.containment import (
+        CONT_DEN,
+        CONT_NUM,
+        dedup_containment,
+    )
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    by_text: dict[str, list[int]] = {}
+    for r in docs:
+        if len(r.text.split(" ")) < 3:
+            continue
+        by_text.setdefault(r.text, []).append(int(r.doc_id))
+    groups = {min(ids): (txt, sorted(ids)) for txt, ids in by_text.items()}
+    sh = {
+        rep: {
+            " ".join(t.split(" ")[i : i + 3])
+            for i in range(len(t.split(" ")) - 2)
+        }
+        for rep, (t, _) in groups.items()
+    }
+    want = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter * CONT_DEN >= CONT_NUM * len(sa):
+                want[(a, b)] = (
+                    round(inter / len(sa), 4),
+                    len(groups[a][1]),
+                    len(groups[b][1]),
+                )
+    for rep, (_, ids) in groups.items():
+        if len(ids) >= 2:
+            want[(rep, rep)] = (1.0, len(ids), len(ids))
+    got = {
+        (int(r.group_a), int(r.group_b)): (r.containment, int(r.n_a), int(r.n_b))
+        for r in dedup_containment(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+    # expansion identity: Σ cross n_a·n_b + Σ self n·(n−1) equals the
+    # doc-level pair count — the group contract loses nothing
+    n_doc_pairs = sum(
+        na * nb if a != b else na * (na - 1) for (a, b), (_, na, nb) in got.items()
+    )
+    sh_doc = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < 3:
+            continue
+        sh_doc[int(r.doc_id)] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    brute = sum(
+        1
+        for a, sa in sh_doc.items()
+        for b, sb in sh_doc.items()
+        if a != b and len(sa & sb) * CONT_DEN >= CONT_NUM * len(sa)
+    )
+    assert n_doc_pairs == brute
