@@ -173,6 +173,12 @@ def _near_dup_pairs(d: DataFrame) -> DataFrame:
         d.withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+        # pinned once: referenced 3× below (candidate generation + both
+        # verify sides), and every caller passes a clone-collapsed
+        # rep-level frame — bounded by DISTINCT content, while the
+        # unpinned lineage would re-run the corpus scan + hash-group +
+        # shingle build per reference (the dedup_containment ×10 lesson)
+        .localCheckpoint()
     )
     cands = minhash_candidate_pairs(d.select("doc_id", "sh"))
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -251,29 +257,65 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     its vocabulary) puts ALL documents in the same unigram buckets, and
     the "candidate" join degenerates to the full cross product (observed
     as a crash at the sf1 scale probe). Shingle sets stay diverse, so
-    bucket sizes track true near-duplicates. Rows-only (randomized
-    family; recall of planted exact dups asserted in tests)."""
+    bucket sizes track true near-duplicates.
+
+    EXACT-CLONE COLLAPSE + GROUP-LEVEL OUTPUT (the ``dedup_containment``
+    / ``dedup_image_hamming_pairs`` contract, applied here after the
+    round-6 ×10 probe caught the doc-level formulation CRASHING on the
+    clone-heavy corpus): identical texts share identical shingle sets,
+    hence identical minhash signatures, hence the same bucket in every
+    hash table — so ``approxSimilarityJoin`` over raw doc_ids emits every
+    within-clone-group pair with its 2^18-dim feature vectors attached,
+    Θ(clones²) candidate volume that lost executors at ×10 (500k docs,
+    ×100 clones). Clones are collapsed to their min-doc_id representative
+    BEFORE featurization; the result is one row per near-dup
+    representative pair carrying both member counts, plus one
+    jaccard_dist=0.0 self row per clone group of size ≥ 2. Rows-only
+    (randomized family; recall of planted exact dups asserted in tests
+    via the group self rows)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = (
+    keyed = (
         load_table(spark, sf_dir, "documents")
         .withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
+        .select("doc_id", "text", F.xxhash64("text").alias("th"))
+    )
+    groups = keyed.groupBy("th").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").cast("long").alias("n")
+    ).localCheckpoint()  # reps referenced by featurize + both join sides
+    d = (
+        keyed.join(maybe_broadcast(groups.select("th", "rep_id")), "th")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .withColumn("toks", F.split("text", " "))
         .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(d)
+    feats = tf.transform(d).localCheckpoint()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return (
+    size_a = groups.select(F.col("rep_id").alias("group_a"), F.col("n").alias("n_a"))
+    size_b = groups.select(F.col("rep_id").alias("group_b"), F.col("n").alias("n_b"))
+    cross = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("datasetA.doc_id").alias("group_a"),
+            F.col("datasetB.doc_id").alias("group_b"),
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
+        .join(maybe_broadcast(size_a), "group_a")
+        .join(maybe_broadcast(size_b), "group_b")
+        .select("group_a", "group_b", "jaccard_dist", "n_a", "n_b")
     )
+    selfp = groups.filter(F.col("n") >= 2).select(
+        F.col("rep_id").alias("group_a"),
+        F.col("rep_id").alias("group_b"),
+        F.lit(0.0).alias("jaccard_dist"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+    )
+    return cross.unionByName(selfp)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

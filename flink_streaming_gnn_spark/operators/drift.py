@@ -34,8 +34,14 @@ TYPE_A, TYPE_B = "click", "view"
 def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (n_a, n_b, ks_stat) for value-distribution drift between
     TYPE_A and TYPE_B events."""
+    # value IS NOT NULL in BOTH formulations (the dq_mann_whitney ADVICE r5
+    # fix, applied to the whole distributed-cumsum family): Spark sorts
+    # NULLs first, DuckDB last, and a NULL group would land in bucket 0
+    # (value > bound is NULL -> otherwise(0)) — the ECDF steps would
+    # diverge if events.value ever carried NULLs
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin([TYPE_A, TYPE_B])
+        & F.col("value").isNotNull()
     )
     per_v = (
         ev.groupBy("value")
@@ -93,6 +99,7 @@ ORACLE = {
         WITH ev AS (
             SELECT value, event_type FROM events
             WHERE event_type IN ('{TYPE_A}', '{TYPE_B}')
+              AND value IS NOT NULL
         ),
         per_v AS (
             SELECT value,

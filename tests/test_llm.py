@@ -43,13 +43,31 @@ def test_dedup_exact_finds_planted(spark):
 
 
 def test_dedup_minhash_recalls_planted(spark):
-    planted = _planted_dup_pairs(spark)
-    found = {
-        (int(r.doc_a), int(r.doc_b))
-        for r in dedup_minhash(spark, SF_DUPS).collect()
+    # group-level contract (round 6): planted exact dups are same-text
+    # clones, so they surface as a jaccard_dist=0.0 SELF row for their
+    # clone group (group_a == group_b == min doc_id, n == group size) —
+    # recall of every planted group with exact membership count, by
+    # construction rather than by LSH luck
+    from flink_streaming_gnn_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DUPS, "documents").select("doc_id", "text").toPandas()
+    want = {}
+    for _, grp in d.groupby("text"):
+        ids = sorted(int(x) for x in grp.doc_id)
+        if len(ids) >= 2 and len(grp.text.iloc[0].split(" ")) >= 3:
+            want[ids[0]] = len(ids)
+    rows = dedup_minhash(spark, SF_DUPS).collect()
+    self_rows = {
+        int(r.group_a): int(r.n_a)
+        for r in rows
+        if r.group_a == r.group_b
     }
-    missed = planted - found
-    assert not missed, f"MinHashLSH missed planted exact dups: {missed}"
+    assert want == self_rows, (
+        f"missing/mismatched clone groups: want {len(want)}, got {len(self_rows)}"
+    )
+    for r in rows:
+        if r.group_a == r.group_b:
+            assert r.jaccard_dist == 0.0
 
 
 def test_dedup_simhash_identical_for_planted(spark):
