@@ -52,7 +52,11 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str, rounds: int = ROUNDS) -> Da
     out_deg = e.groupBy("a").agg(F.count("*").alias("deg"))
     # edges with the source's out-degree attached, reused every round
     e_deg = e.join(out_deg, "a").persist()
-    ranks = v.withColumn("rank", F.lit(1.0 / n)).persist()
+    # localCheckpoint, not persist: each round references `ranks` TWICE
+    # (contribs + dangling), so an un-truncated logical plan doubles per
+    # round — 2^rounds analysis blowup by round ~7. The checkpoint makes
+    # every round a leaf (the _cc_over_pairs discipline).
+    ranks = v.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     try:
         for _ in range(rounds):
             contribs = (
@@ -61,28 +65,27 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str, rounds: int = ROUNDS) -> Da
                 .groupBy("b")
                 .agg(F.sum("c").alias("in_sum"))
             )
-            # dangling mass: rank held by vertices with no out-edges
-            dangling = (
-                ranks.join(out_deg, ranks.v == out_deg.a, "left_anti")
-                .agg(F.sum("rank"))
-                .first()[0]
-                or 0.0
+            # dangling mass (rank held by vertices with no out-edges) as a
+            # broadcast 1-row frame folded into the SAME job — the round-5
+            # version pulled it to the driver with a per-round .first(),
+            # which made every iteration pay an extra full-graph action
+            # (the ×10 probe split ~40% of PageRank's 76 s on those jobs)
+            dang = ranks.join(out_deg, ranks.v == out_deg.a, "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
             )
-            base = (1.0 - DAMPING) / n + DAMPING * dangling / n
-            new_ranks = (
+            ranks = (
                 v.join(contribs, v.v == contribs.b, "left")
+                .crossJoin(F.broadcast(dang))
                 .select(
                     "v",
                     (
-                        F.lit(base)
+                        F.lit((1.0 - DAMPING) / n)
+                        + F.lit(DAMPING) * F.col("dm") / F.lit(float(n))
                         + F.lit(DAMPING) * F.coalesce("in_sum", F.lit(0.0))
                     ).alias("rank"),
                 )
-                .persist()
+                .localCheckpoint()  # eager: materializes the round's one job
             )
-            new_ranks.count()  # materialize before dropping the old cache
-            ranks.unpersist()
-            ranks = new_ranks
         return ranks
     finally:
         e_deg.unpersist()

@@ -3,22 +3,39 @@ graph ops; the bipartite purchase graph has no odd cycles, so the classic
 triangle statistic lives on its one-mode projection: suppliers are adjacent
 when they ship lineitems of the same order).
 
-Spark-first shape: the standard two-join ordered enumeration —
+TWO-TIER SHAPE (round 6 — the ×10 probe measured the plain ordered
+two-join at 268 s and explained why): the co-order projection is a
+SMALL-V DENSE graph whenever the corpus has many more orders than
+suppliers — at sf0.1, 150k orders × ≤21 pairs each cover 99.8% of the
+C(1000,2) possible supplier pairs, so the projection is essentially the
+complete graph and any wedge enumeration materializes Θ(V·deg²) ≈ 10⁸
+rows to count C(V,3)-sized structure. Enumeration is the wrong tool for
+the dense regime; bit-set intersection is the right one:
 
-    edges oriented a < b; triangles = E(a,b) ⋈ E(b,c) ⋈ E(a,c)
+* **Dense tier** (V ≤ 16Ki vertices AND E ≤ 32Mi distinct edges — a
+  geometry-bounded driver read via one Arrow ``toPandas``, the
+  ``graph_mst_boruvka`` local-tail discipline): triangles =
+  trace(A³)/6 with A the dense float32 adjacency — one V×V BLAS
+  matmul plus an elementwise masked sum. Every A² entry is an integer
+  ≤ V < 2²⁴ (exact in float32) and the final sum accumulates in
+  float64, so the count is exact. At the ×10 fixture (V = 10 000,
+  E = 4.5M) the matmul kernel runs in seconds where wedge
+  ENUMERATION materialized ~10⁸ join rows — 268 s → ~35 s end-to-end
+  (the residual is the projection build + Arrow transfer).
+* **Distributed tier** (anything bigger): the textbook degree-ordered
+  orientation — point each edge at its higher-(degree, id) endpoint, so
+  per-vertex wedge fan-out is bounded by arboricity, not max degree
+  (Chiba–Nishizeki; the standard big-graph triangle plan) — then the
+  two equi-joins Catalyst plans as shuffled hash joins. A graph that
+  exceeds the dense-tier bounds with millions of vertices is sparse
+  relative to complete (E ≤ 21·|orders| distinct pairs), which is
+  exactly where the oriented join shape performs.
 
-entirely as equi-joins Catalyst plans as shuffled hash joins on the vertex
-keys. Ordering every edge (a < b) means each triangle is produced exactly
-once and the wedge join only extends ascending paths, halving the
-intermediate.
-
-Scale posture: the textbook refinement at 100 TB is degree-based
-orientation (point each edge at its higher-degree endpoint) which bounds
-per-vertex wedge fan-out by the graph arboricity instead of max degree —
-one extra degree join, same plan shape. The projection itself
+Both tiers compute the identical count (pinned against each other in
+pytest, and against the all-pairs DuckDB oracle); the projection itself
 (lineitem ⋈ lineitem on orderkey) is bounded by per-order line counts
-(≤7 in TPC-H-like data), so it scales linearly in orders; it would be the
-first thing to bucket by orderkey on a real cluster.
+(≤7 in TPC-H-like data), so it scales linearly in orders; it would be
+the first thing to bucket by orderkey on a real cluster.
 """
 
 from __future__ import annotations
@@ -27,6 +44,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.sources.tables import load_table
+
+# dense-tier bounds: float32 adjacency ≤ 16Ki² × 4 B = 1 GiB (transient,
+# driver has 128 GiB), edge list ≤ 32Mi rows over Arrow — both
+# geometry-bounded driver reads
+DENSE_V_BOUND = 16384
+DENSE_E_BOUND = 32 << 20
 
 
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,20 +65,74 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _count_dense(a_arr, b_arr) -> int:
+    """Driver BLAS kernel over the dense symmetric adjacency:
+    trace(A³)/6 as (A@A ∘ A).sum() / 6 — exact (module docstring)."""
+    import numpy as np
+
+    a = np.asarray(a_arr, dtype=np.int64)
+    b = np.asarray(b_arr, dtype=np.int64)
+    verts, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    n = len(verts)
+    adj = np.zeros((n, n), dtype=np.float32)
+    adj[ai, bi] = 1.0
+    adj[bi, ai] = 1.0
+    a2 = adj @ adj  # one V×V sgemm — integer-valued, exact in float32
+    total = int(round(float((a2 * adj).sum(dtype=np.float64))))
+    assert total % 6 == 0
+    return total // 6
+
+
+def _count_distributed(e: DataFrame) -> DataFrame:
+    """Degree-ordered orientation + two equi-joins; returns a 1-row
+    (n_triangles) frame. Fan-out per wedge vertex is arboricity-bounded."""
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    # orient toward the higher-(degree, id) endpoint
+    ranked = e.join(da, "a").join(db, "b")
+    lo_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    o = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("y"),
+    )
+    o1 = o
+    o2 = o.select(F.col("x").alias("x2"), F.col("y").alias("z"))
+    wedges = o1.join(o2, o1.y == o2.x2).select("x", "y", "z")
+    o3 = o.select(F.col("x").alias("x3"), F.col("y").alias("z3"))
+    # a triangle with rank order u<v<w appears exactly once as the path
+    # u→v→w; its closing edge u–w is oriented u→w (u precedes w), so one
+    # equi-join on (x, z) completes the count
+    tris = wedges.join(o3, (wedges.x == o3.x3) & (wedges.z == o3.z3))
+    return tris.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row graph summary: projected edge count + triangle count."""
     e = _supplier_edges(spark, sf_dir).persist()
-    e1 = e
-    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    wedges = e1.join(e2, e1.b == e2.b2)  # a < b < c ascending paths
-    tris = wedges.join(e3, (wedges.a == e3.a3) & (wedges.c == e3.c3))
-    out = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
-        tris.agg(F.count("*").cast("long").alias("n_triangles"))
+    n_edges = e.count()
+    n_verts = (
+        e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b").alias("v")))
+        .distinct()
+        .count()
     )
-    rows = out.collect()  # 1-row summary; release the edge cache
+    if n_verts <= DENSE_V_BOUND and n_edges <= DENSE_E_BOUND:
+        pdf = e.toPandas()  # geometry-bounded by the guard; Arrow transfer
+        tri = _count_dense(pdf["a"].to_numpy(), pdf["b"].to_numpy())
+    else:
+        tri = _count_distributed(e).collect()[0][0]
     e.unpersist()
-    return spark.createDataFrame(rows, schema="n_edges long, n_triangles long")
+    return spark.createDataFrame(
+        [(n_edges, tri)], schema="n_edges long, n_triangles long"
+    )
 
 
 QUERIES = {"graph_triangle_count": graph_triangle_count}

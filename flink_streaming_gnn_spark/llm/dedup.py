@@ -319,31 +319,125 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dups: pairs with cosine ≥ 0.9. Candidates are
-    blocked by label (cheap proxy for an IVF/LSH bucket — at scale the
-    blocking key is a coarse quantizer cell, see simsearch.py); cosine is
-    the JVM-side double-precision fold from functions.arrays."""
+    """Embedding-space near-dups at GROUP granularity: one row per pair
+    of identical-embedding groups (same label, cosine ≥ 0.9, group keyed
+    by its min-vec_id representative) with both member counts, plus one
+    cos=1.0 self row per group of size ≥ 2. Candidates are blocked by
+    label (cheap proxy for an IVF/LSH bucket — at scale the blocking key
+    is a coarse quantizer cell, see simsearch.py); the FINAL cosine of
+    every emitted pair is the JVM-side double-precision fold from
+    functions.arrays.
+
+    Round-6 rewrite, both halves forced by the ×10 probe (the round-2
+    doc-level pair join was still grinding after an hour):
+
+    * **exact-clone collapse + group contract** (the `dedup_containment`
+      / `dedup_image_hamming_pairs` discipline): the replica corpus has
+      100 copies of every embedding, so doc-level output is Θ(clones²)
+      cos=1.0 rows by construction — 9.9M pairs whose enumeration, join
+      and write WERE the runtime. Identical (label, embedding) rows are
+      collapsed first (at 100 TB the group key would be a hash of the
+      array; the array itself is exact here and groups in one hash agg),
+      and all machinery below runs on representatives.
+    * **BLAS candidate stage + exact rescore**: per label block, an
+      Arrow-batched ``applyInPandas`` computes the representatives'
+      row-normalized gram matrix in float32 row-chunks (≤ 32Mi scores
+      per slab — 100× more reps only adds chunks, never footprint) and
+      emits pairs with cos ≥ 0.9 − 1e-4; the JVM fold rescores just
+      those candidates exactly and applies the exact threshold — the
+      house candidates-from-cheap-tier + exact-rescore pattern, ~100×
+      less arithmetic than folding the per-pair aggregate expression
+      over every within-label pair."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
+        "vec_id", "label", "embedding"
+    )
+    groups = (
+        e.groupBy("label", "embedding")
+        .agg(F.min("vec_id").alias("rep_id"), F.count("*").cast("long").alias("n"))
+        .localCheckpoint()  # referenced by candidates, rescore and sizes
+    )
+    reps = groups.select(
+        F.col("rep_id").alias("vec_id"),
         "label",
         "embedding",
         F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("norm"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        (
-            F.expr(dot_expr("a.embedding", "b.embedding"))
-            / (F.col("a.norm") * F.col("b.norm"))
-        ).alias("cos"),
+
+    def block_candidates(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        n = len(ids)
+        out_a, out_b = [], []
+        block = max(16, (1 << 25) // max(n, 1))
+        for s in range(0, n, block):
+            # upper-triangle slab only: pairs with group_a < group_b
+            # under the sorted rep ids — half the arithmetic
+            sc = x[s : s + block] @ x[s:].T
+            ia, ib = np.nonzero(sc >= np.float32(0.9 - 1e-4))
+            keep = ia < ib
+            out_a.append(ids[ia[keep] + s])
+            out_b.append(ids[ib[keep] + s])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+            }
+        )
+
+    cands = (
+        reps.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(block_candidates, "vec_a long, vec_b long")
     )
-    return pairs.filter(F.col("cos") >= 0.9).select(
-        "vec_a", "vec_b", F.round("cos", 4).alias("cos")
+    a = reps.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
     )
+    b = reps.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    rescored = (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                F.expr(dot_expr("emb_a", "emb_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.9)
+    )
+    size_a = groups.select(F.col("rep_id").alias("vec_a"), F.col("n").alias("n_a"))
+    size_b = groups.select(F.col("rep_id").alias("vec_b"), F.col("n").alias("n_b"))
+    cross = (
+        rescored.join(maybe_broadcast(size_a), "vec_a")
+        .join(maybe_broadcast(size_b), "vec_b")
+        .select(
+            F.col("vec_a").alias("group_a"),
+            F.col("vec_b").alias("group_b"),
+            F.round("cos", 4).alias("cos"),
+            "n_a",
+            "n_b",
+        )
+    )
+    selfp = groups.filter(F.col("n") >= 2).select(
+        F.col("rep_id").alias("group_a"),
+        F.col("rep_id").alias("group_b"),
+        F.lit(1.0).alias("cos"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+    )
+    return cross.unionByName(selfp)
 
 
 def _cc_over_pairs(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
@@ -641,12 +735,29 @@ ORACLE = {
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
     """,
+    # group contract: identical-(label, embedding) groups, all-pairs
+    # verify over representatives (no BLAS prefilter — the margin's
+    # zero-miss property is cross-checked by the hash match)
     "dedup_embedding_cosine": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_DUCK_COS}, 4) AS cos
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_DUCK_COS} >= 0.9
+        WITH grp AS (
+            SELECT label, embedding, min(vec_id) AS rep_id,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label, embedding
+        ),
+        cross_pairs AS (
+            SELECT a.rep_id AS group_a, b.rep_id AS group_b,
+                   round({_DUCK_COS}, 4) AS cos,
+                   a.n AS n_a, b.n AS n_b
+            FROM grp a JOIN grp b
+              ON a.label = b.label AND a.rep_id < b.rep_id
+            WHERE {_DUCK_COS} >= 0.9
+        ),
+        self_pairs AS (
+            SELECT rep_id AS group_a, rep_id AS group_b,
+                   1.0 AS cos, n AS n_a, n AS n_b
+            FROM grp WHERE n >= 2
+        )
+        SELECT * FROM cross_pairs UNION ALL SELECT * FROM self_pairs
     """,
     # The oracle re-derives the dup graph from ALL pairs (no LSH) and
     # resolves clusters with a recursive-CTE reachability fixpoint — a hash

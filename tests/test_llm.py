@@ -95,6 +95,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert mean_recall > 0.25, f"IVF mean recall too low: {mean_recall:.2f}"
 
 
+def test_lsh_recall_vs_bruteforce(spark):
+    """BucketedRandomProjectionLSH tier (round-6 geometry: bucketLength
+    ≈ one projection σ, threshold below the random-pair 1st percentile,
+    per-probe top-k output): on UNIT-NORM vectors L2² = 2 − 2·cos, so
+    the exact cosine top-k is the ground truth for the L2 ranking. Same
+    loose bound philosophy as the IVF test — 4 OR-ed tables over random
+    unclustered data recall the true neighborhood well above chance."""
+    from flink_streaming_gnn_spark.llm.simsearch import simsearch_lsh
+
+    exact = simsearch_cosine_knn(spark, SF_ORACLE).toPandas()
+    approx = simsearch_lsh(spark, SF_ORACLE).toPandas()
+    exact_sets = exact.groupby("probe_id").cand_id.apply(set)
+    approx_sets = approx.groupby("probe_id").cand_id.apply(set)
+    recalls = [
+        len(exact_sets[p] & approx_sets.get(p, set())) / TOP_K for p in exact_sets.index
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall > 0.25, f"LSH mean recall too low: {mean_recall:.2f}"
+    # the top-k contract is bounded per probe
+    counts = approx.groupby("probe_id").cand_id.count()
+    assert counts.max() <= TOP_K
+
+
 def test_multimodal_decode_contract(spark):
     out = multimodal_decode_stub(spark, SF_ORACLE)
     assert [f.name for f in out.schema.fields] == [

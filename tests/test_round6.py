@@ -68,6 +68,76 @@ def test_ks_drift_null_values_differential(spark, nullable_events_dir):
     assert not problems, problems
 
 
+def test_embedding_cosine_group_contract_planted(spark, tmp_path):
+    # the corpus fixtures contain no cos≥0.9 pairs and no duplicate
+    # embeddings (0 rows at sf0.01 AND sf0.1), so the driver hash can
+    # never value-exercise the round-6 group contract — this fixture
+    # plants exact clone groups AND a cross-group near-dup pair, then
+    # runs the full Spark-vs-DuckDB differential
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    base = rs.randn(6, 8)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[0] + 0.01 * rs.randn(8)  # near-dup of base[0]
+    near /= np.linalg.norm(near)
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        for _ in range(3 if i < 2 else 1):  # groups 0,1 have 3 clones
+            rows.append((vid, int(i % 2), [float(x) for x in v]))
+            vid += 1
+    rows.append((vid, 0, [float(x) for x in near]))  # same label as base[0]
+    spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+
+    from flink_streaming_gnn_spark import registry
+
+    spark_pdf = (
+        registry.all_queries()["dedup_embedding_cosine"](spark, str(tmp_path))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'embeddings.parquet')}/*.parquet'"
+    )
+    oracle_pdf = con.execute(
+        registry.all_oracle_sql()["dedup_embedding_cosine"]
+    ).df()
+    problems = compare_frames(spark_pdf, oracle_pdf, "dedup_embedding_cosine")
+    assert not problems, problems
+    # must actually contain both row kinds: 2 self rows (the 3-clone
+    # groups) and ≥1 cross pair (the planted near-dup)
+    self_rows = spark_pdf[spark_pdf.group_a == spark_pdf.group_b]
+    cross_rows = spark_pdf[spark_pdf.group_a != spark_pdf.group_b]
+    assert len(self_rows) == 2 and set(self_rows.n_a) == {3}
+    assert len(cross_rows) >= 1 and (cross_rows.cos >= 0.9).all()
+
+
+def test_triangle_tiers_agree(spark):
+    # graph_triangle_count round-6 two-tier shape: the distributed
+    # degree-ordered-orientation join path must count exactly what the
+    # dense driver bit-kernel counts (the fixture rides the dense tier;
+    # this pins distributed ≡ dense, the graph_mst_boruvka discipline)
+    from flink_streaming_gnn_spark.graph.triangles import (
+        _count_dense,
+        _count_distributed,
+        _supplier_edges,
+    )
+
+    e = _supplier_edges(spark, SF_SMOKE).persist()
+    pdf = e.toPandas()
+    dense = _count_dense(pdf["a"].to_numpy(), pdf["b"].to_numpy())
+    distributed = int(_count_distributed(e).collect()[0][0])
+    e.unpersist()
+    assert dense == distributed
+    assert dense > 0  # fixture must actually contain triangles
+
+
 def test_null_rows_actually_present(spark, nullable_events_dir):
     # guard: the fixture must really contain NULL values for the two
     # compared types, or the tests above prove nothing
