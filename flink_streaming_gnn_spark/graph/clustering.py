@@ -19,10 +19,18 @@ Degrees are one explode + one hash agg over the oriented edge list. All
 shuffles key on supplier ids; the deterministic edge subtrees are
 identical, so AQE reuses the exchange instead of rescanning lineitem.
 
-Scale posture: identical to triangle counting — the enumeration is the
-textbook target for degree-based orientation at 100 TB (point edges at the
-higher-degree endpoint; wedge fan-out drops from max-degree² to
-arboricity-bounded); the readout and degree aggs are |V|-sized.
+Scale posture (round 6 — shared with ``graph/triangles.py``, whose ×10
+probe measured wedge ENUMERATION on the quasi-clique projection at
+268–334 s): the per-vertex readout rides the same two tiers. In the
+dense small-V regime (V ≤ 16Ki, E ≤ 32Mi — geometry-bounded driver
+read), T(v) is the v-th diagonal entry of A³/2 = row-sum of (A² ∘ A)/2
+over the float32 adjacency: ONE BLAS matmul replaces ~4·10⁹ wedge join
+rows, 334 → ~35 s at ×10. Larger graphs keep the ordered two-equi-join
+enumeration (each triangle once, exploded to its three vertices), the
+regime where the projection is sparse and the join shape performs —
+with degree-based orientation as the documented refinement. The final
+``2T/(d(d−1))`` division and rounding happen JVM-side in BOTH tiers, so
+the emitted doubles are bit-identical regardless of tier.
 """
 
 from __future__ import annotations
@@ -30,20 +38,65 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_streaming_gnn_spark.graph.triangles import _supplier_edges
+from flink_streaming_gnn_spark.graph.triangles import (
+    DENSE_E_BOUND,
+    DENSE_V_BOUND,
+    _supplier_edges,
+)
+
+
+def _per_vertex_dense(a_arr, b_arr):
+    """Driver BLAS kernel: (degree, per-vertex triangle count) for every
+    vertex via one V×V sgemm — deg = row-sum of A, T(v) = row-sum of
+    (A² ∘ A)/2, both exact (A² entries are integers < 2²⁴ in float32;
+    sums accumulate in float64)."""
+    import numpy as np
+
+    a = np.asarray(a_arr, dtype=np.int64)
+    b = np.asarray(b_arr, dtype=np.int64)
+    verts, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    n = len(verts)
+    adj = np.zeros((n, n), dtype=np.float32)
+    adj[ai, bi] = 1.0
+    adj[bi, ai] = 1.0
+    deg = adj.sum(axis=1, dtype=np.float64).astype(np.int64)
+    tv2 = ((adj @ adj) * adj).sum(axis=1, dtype=np.float64)
+    tv = np.rint(tv2 / 2.0).astype(np.int64)
+    return [
+        (int(verts[i]), int(deg[i]), int(tv[i])) for i in range(n)
+    ]
 
 
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the projection feeds FOUR subtrees (degree + three wedge-join arms):
-    # materialize once so no arm recomputes the lineitem self-join. The
-    # 10× scale probe showed the remaining cost is the enumeration itself
-    # (the blown-up co-order projection is a quasi-clique: 4.5M edges over
-    # 10k suppliers, avg degree ~900, wedges ~Σdeg²≈4e9) — inherent to
-    # triangle readout on dense projections; the mitigations are the
-    # degree cap documented in graph/linkpred.py (hot baskets contribute
-    # O(deg²) wedges and little signal) and degree orientation for
-    # power-law shapes.
+    # materialize once so no arm recomputes the lineitem self-join
     e = _supplier_edges(spark, sf_dir).localCheckpoint()
+    n_edges = e.count()
+    n_verts = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .distinct()
+        .count()
+    )
+    if n_verts <= DENSE_V_BOUND and n_edges <= DENSE_E_BOUND:
+        pdf = e.toPandas()  # geometry-bounded by the guard; Arrow transfer
+        rows = _per_vertex_dense(pdf["a"].to_numpy(), pdf["b"].to_numpy())
+        counted = spark.createDataFrame(
+            rows, schema="supplier long, degree long, n_triangles long"
+        )
+        # division + rounding JVM-side: bit-identical to the join tier
+        return counted.filter(F.col("degree") >= 2).select(
+            "supplier",
+            "degree",
+            "n_triangles",
+            F.round(
+                2.0
+                * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering"),
+        )
     # degree: each oriented edge contributes to both endpoints
     deg = (
         e.select(

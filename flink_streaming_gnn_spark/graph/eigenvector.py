@@ -51,23 +51,29 @@ def eigenvector_scores(
     v = v.persist()
     e = e.persist()
     n = v.count()  # scalar — drives the uniform start vector
-    x = v.withColumn("x", F.lit(1.0 / n**0.5)).persist()
+    x = v.withColumn("x", F.lit(1.0 / n**0.5))
     try:
+        # ONE job per round (the round-6 pagerank discipline): the
+        # unnormalized propagation is checkpointed (leaf), and the L2
+        # normalization rides lazily into the NEXT round's job as a
+        # broadcast 1-row crossJoin — the round-5 version paid a separate
+        # driver .first() for the norm plus a materialize count, i.e.
+        # two extra full-|V| actions per round. `x` references its
+        # checkpointed `y` twice (norm + values), which is plan-safe
+        # precisely because y is a leaf.
         for _ in range(rounds):
             y = (
                 e.join(x, e.a == x.v)
                 .select("b", "x")
                 .groupBy("b")
                 .agg(F.sum("x").alias("y"))
+                .localCheckpoint()
             )
-            norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y")))).first()[0]  # O(1)
-            new_x = y.select(
-                F.col("b").alias("v"), (F.col("y") / F.lit(norm)).alias("x")
-            ).persist()
-            new_x.count()  # materialize before dropping the old cache
-            x.unpersist()
-            x = new_x
-        return x
+            nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+            x = y.crossJoin(F.broadcast(nrm)).select(
+                F.col("b").alias("v"), (F.col("y") / F.col("nrm")).alias("x")
+            )
+        return x.localCheckpoint()
     finally:
         e.unpersist()
         v.unpersist()

@@ -269,9 +269,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # OLS: one mergeable agg pass after the equi-join
     "agg_linear_regression": ([r"HashAggregate", r"partial_regr"], [r"CartesianProduct"]),
     "graph_assortativity": ([r"HashAggregate"], [r"CartesianProduct"]),
-    # triangle readout: equi-joins only; explode feeds a hash agg
+    # round-6 two-tier triangle readout: at audit scale the dense tier
+    # fires (BLAS kernel on a geometry-bounded driver read), so the
+    # returned plan is the JVM division/rounding over the kernel's
+    # local relation — still no cartesian and no Python in the plan
+    # (the join tier's explode→hash-agg shape is pinned by the
+    # tier-parity pytest instead)
     "graph_clustering_coefficient": (
-        [r"HashAggregate", r"Generate"],
+        [r"Project"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"EvalPython"],
     ),
     # max-pool layer: mergeable partial_max before the one dst shuffle; all JVM
