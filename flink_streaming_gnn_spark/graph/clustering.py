@@ -41,15 +41,17 @@ from pyspark.sql import functions as F
 from flink_streaming_gnn_spark.graph.triangles import (
     DENSE_E_BOUND,
     DENSE_V_BOUND,
+    _masked_a2_rowsums,
     _supplier_edges,
 )
 
 
 def _per_vertex_dense(a_arr, b_arr):
     """Driver BLAS kernel: (degree, per-vertex triangle count) for every
-    vertex via one V×V sgemm — deg = row-sum of A, T(v) = row-sum of
-    (A² ∘ A)/2, both exact (A² entries are integers < 2²⁴ in float32;
-    sums accumulate in float64)."""
+    vertex — deg = row-sum of A, T(v) = row-sum of (A² ∘ A)/2 via the
+    shared slabbed kernel (peak = adjacency + one slab, not 3 full V×V
+    matrices — ADVICE r6), both exact (A² entries are integers < 2²⁴ in
+    float32; sums accumulate in float64)."""
     import numpy as np
 
     a = np.asarray(a_arr, dtype=np.int64)
@@ -61,7 +63,7 @@ def _per_vertex_dense(a_arr, b_arr):
     adj[ai, bi] = 1.0
     adj[bi, ai] = 1.0
     deg = adj.sum(axis=1, dtype=np.float64).astype(np.int64)
-    tv2 = ((adj @ adj) * adj).sum(axis=1, dtype=np.float64)
+    tv2 = _masked_a2_rowsums(adj)
     tv = np.rint(tv2 / 2.0).astype(np.int64)
     return [
         (int(verts[i]), int(deg[i]), int(tv[i])) for i in range(n)

@@ -47,9 +47,33 @@ from flink_streaming_gnn_spark.sources.tables import load_table
 
 # dense-tier bounds: float32 adjacency ≤ 16Ki² × 4 B = 1 GiB (transient,
 # driver has 128 GiB), edge list ≤ 32Mi rows over Arrow — both
-# geometry-bounded driver reads
+# geometry-bounded driver reads. The masked-A² pass runs in row blocks
+# (`_masked_a2_rowsums`), so peak driver memory at the bound is the 1 GiB
+# adjacency + two ≤ 256 MiB slab transients — NOT a second full V×V
+# matrix (ADVICE r6: the earlier one-shot `A @ A` kernel's true peak was
+# ~3 GiB at the bound, 3× what this comment budgeted).
 DENSE_V_BOUND = 16384
 DENSE_E_BOUND = 32 << 20
+
+
+def _masked_a2_rowsums(adj, slab_floats: int = 64 << 20):
+    """Row sums of (A² ∘ A) in row blocks: per block one slab sgemm
+    ``adj[s:e] @ adj`` and its elementwise mask — ≤ ``slab_floats`` per
+    slab (two ≤ 256 MiB transients at the default), never a full V×V A².
+    Entries of A² are integers < 2²⁴, exact in float32; the row sums
+    accumulate in float64. ``slab_floats`` is a test seam (forces the
+    multi-block path on small fixtures); block is floored at one row."""
+    import numpy as np
+
+    n = adj.shape[0]
+    out = np.zeros(n, dtype=np.float64)
+    block = max(1, slab_floats // max(n, 1))
+    for s in range(0, n, block):
+        a_blk = adj[s : s + block]
+        out[s : s + block] = ((a_blk @ adj) * a_blk).sum(
+            axis=1, dtype=np.float64
+        )
+    return out
 
 
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,7 +91,8 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _count_dense(a_arr, b_arr) -> int:
     """Driver BLAS kernel over the dense symmetric adjacency:
-    trace(A³)/6 as (A@A ∘ A).sum() / 6 — exact (module docstring)."""
+    trace(A³)/6 as Σ row-sums of (A² ∘ A), slabbed — exact (module
+    docstring), peak memory = adjacency + one slab."""
     import numpy as np
 
     a = np.asarray(a_arr, dtype=np.int64)
@@ -78,8 +103,7 @@ def _count_dense(a_arr, b_arr) -> int:
     adj = np.zeros((n, n), dtype=np.float32)
     adj[ai, bi] = 1.0
     adj[bi, ai] = 1.0
-    a2 = adj @ adj  # one V×V sgemm — integer-valued, exact in float32
-    total = int(round(float((a2 * adj).sum(dtype=np.float64))))
+    total = int(round(float(_masked_a2_rowsums(adj).sum())))
     assert total % 6 == 0
     return total // 6
 

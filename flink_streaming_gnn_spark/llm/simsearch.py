@@ -293,8 +293,11 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (measured: random-pair L2 ∈ [1.19, 1.55], 1-D projection std ≈ 0.125):
 # bucketLength slices each random projection into ~meaningful bins
 # instead of putting the whole corpus in one bucket, and the join
-# threshold sits below the random-pair 1st percentile so only genuine
-# near neighbors survive the exact-distance verify.
+# threshold sits in the LOW TAIL of the random-pair distribution
+# (ADVICE r6: 1.3 is inside the [1.19, 1.55] span, not below its 1st
+# percentile) — the low-tail fraction of random pairs that pass the
+# radius is then cut by the per-probe top-k window; the bounded-output
+# guarantee comes from the top-k, the threshold only thins candidates.
 LSH_BUCKET_LEN = 0.125
 LSH_L2_THRESHOLD = 1.3
 LSH_TABLES = 4

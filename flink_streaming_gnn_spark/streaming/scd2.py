@@ -19,13 +19,16 @@ round-5 version additionally re-emitted every key's currently-open row
 each batch and superseded the stale copies with a row_number window at
 drain — per-batch Arrow traffic for rows that were going to be
 overwritten, plus a full-history shuffle to dedup them. Both are gone:
-the state operator now emits nothing for the open tail, and the open
-rows are reconstructed at drain time by a BATCH last-per-key pass over
-the same events fixture (one partial-aggregated ``max(struct(us,
-event_id, event_type))`` — the open record per user is by definition
-the user's last change, so this is exact, and the tiebreak
-(us, event_id) is byte-identical to the state machine's lexsort). The
-final answer is a plain union: no dedup window, no re-emission.
+the state operator emits nothing for the open tail, and the open rows
+are read AT DRAIN TIME FROM THE STATE STORE ITSELF via Spark 4's
+``statestore`` data source over the kept checkpoint (round 7 — VERDICT
+r6 "Next round" #6: the round-6 version reconstructed them with a
+batch last-per-key pass over the fixture, which was equal by
+construction but meant the streaming artifact no longer proved the
+state store held the open intervals; now it does, and the batch
+reconstruction survives as ``scd2_open_rows_batch``, pinned ≡ the
+state readout by pytest). The final answer is a plain union: no dedup
+window, no re-emission, no events re-scan.
 
 Timestamps cross the Arrow boundary as µs longs (the ``streaming/cep``
 codec discipline); formatting back to the oracle's string form happens
@@ -41,7 +44,7 @@ reduce. Unlike CEP's funnel (where most events are non-matching and
 could be thinned JVM-side before the state operator), every SCD2 event
 IS an interval boundary that must reach the state machine, so the
 thinning lever does not exist here; the remaining ~6 s is spool write
-+ the batch opens pass + union + sink. The batch twin's 8 s is the
++ the |users|-sized state readout + union + sink. The batch twin's 8 s is the
 price of ``lead()`` in the JVM — the premium is the cost of the
 REQUIRED arbitrary-state surface, not of this operator's shape. At
 cluster scale the state operator parallelizes per user-partition like
@@ -109,6 +112,40 @@ def scd2_state_machine(stream_df: DataFrame) -> DataFrame:
     )
 
 
+def scd2_open_rows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch last-per-key reconstruction of the open tail — the round-6
+    emission-diet shape, kept as the independent ground truth the pytest
+    differential checks the state-store readout against. ``max_by`` on
+    exactly ``(us, event_id)`` so the ordering key is byte-identical to
+    the state machine's ``np.lexsort((eid, us))`` (ADVICE r6: the former
+    ``max(struct(us, event_id, event_type))`` compared event_type on
+    full ties; event_id uniqueness makes a tie unreachable, but the two
+    paths now share one key by construction rather than by invariant)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "us"),
+                F.struct("us", "event_id"),
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.us").alias("vf_us"),
+            F.lit(None).cast("long").alias("vt_us"),
+        )
+    )
+
+
 def stream_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
@@ -122,26 +159,28 @@ def stream_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     # event-sized emission → parquet spool, not the driver memory sink
-    # (x10 probe: the memory sink alone cost ~90 s at 10M rows)
-    closed = run_update_spooled(scd2_state_machine(stream), "scd2_e2e")
-    # open (current) rows: batch last-per-key pass over the same fixture
-    # the stream replays — partial-aggregated struct max, one shuffle of
-    # |users| rows, tiebreak identical to the state machine's lexsort
+    # (x10 probe: the memory sink alone cost ~90 s at 10M rows); the
+    # checkpoint is kept so the open tail can be read FROM THE STATE
+    # STORE itself below
+    closed, ckpt = run_update_spooled(
+        scd2_state_machine(stream), "scd2_e2e", keep_state=True
+    )
+    # open (current) rows: drain-time readout of the state store via the
+    # Spark 4 `statestore` data source — the per-user open interval IS
+    # the final groupState row the machine carried, so the streaming
+    # artifact's open tail now provably comes from streaming state
+    # (VERDICT r6 "Next round" #6; the former batch last-per-key
+    # reconstruction survives as `scd2_open_rows_batch` for the pytest
+    # differential). |users|-sized read, no events re-scan.
     opens = (
-        load_table(spark, sf_dir, "events")
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .load()
         .select(
-            "user_id",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-            "event_id",
-            "event_type",
-        )
-        .groupBy("user_id")
-        .agg(F.max(F.struct("us", "event_id", "event_type")).alias("m"))
-        .select(
-            "user_id",
-            F.col("m.event_id").alias("event_id"),
-            F.col("m.event_type").alias("event_type"),
-            F.col("m.us").alias("vf_us"),
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.groupState.o_eid").alias("event_id"),
+            F.col("value.groupState.o_et").alias("event_type"),
+            F.col("value.groupState.o_us").alias("vf_us"),
             F.lit(None).cast("long").alias("vt_us"),
         )
     )
