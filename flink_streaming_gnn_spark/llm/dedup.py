@@ -343,14 +343,22 @@ def _make_gram_candidates():
     it) by value, while the module-level alias below keeps the kernel
     directly pytest-testable."""
 
-    def _gram_candidates(pdf, threshold, floats_bound=EMB_BLOCK_FLOATS_BOUND):
+    def _gram_candidates(
+        pdf,
+        threshold,
+        floats_bound=EMB_BLOCK_FLOATS_BOUND,
+        slab_scores=1 << 25,
+    ):
         """One label/cell block of representatives → candidate id pairs
         with row-normalized float32 gram cosine ≥ ``threshold``.
-        Upper-triangle slabs of ≤ 32Mi scores (more reps only adds slab
-        iterations, never footprint); the full-block residency is
-        asserted ≤ ``floats_bound`` n·d floats, and the Arrow object
-        column is freed before the matrix loop so the float32 matrix is
-        the only full-block copy that remains."""
+        Upper-triangle slabs of ≤ ``slab_scores`` scores (32Mi default —
+        more reps only adds slab iterations, never footprint; the
+        parameter is a test seam for forcing the multi-slab path on
+        small fixtures); the full-block residency is asserted ≤
+        ``floats_bound`` n·d floats, the float32 matrix is filled
+        row-by-row (never a full float64 ``np.stack`` transient), and
+        the Arrow object column is freed before the score loop so the
+        float32 matrix is the only full-block copy that remains."""
         import numpy as np
         import pandas as pd
 
@@ -371,11 +379,16 @@ def _make_gram_candidates():
             return pd.DataFrame(
                 {"vec_a": np.empty(0, np.int64), "vec_b": np.empty(0, np.int64)}
             )
-        x = np.stack(embs).astype(np.float32)
+        x = np.empty((n, d), dtype=np.float32)
+        for i in range(n):  # per-row cast: no n×d float64 intermediate
+            x[i] = embs[i]
         del embs  # matrix built — drop the object-array copy pre-loop
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         out_a, out_b = [], []
-        block = max(16, (1 << 25) // n)
+        # scores-based slab: block·n ≤ slab_scores at ANY n the residency
+        # bound admits (a 16-row floor broke the invariant 8× over for
+        # huge-n/small-d cells); floor of one row
+        block = max(1, slab_scores // n)
         for s in range(0, n, block):
             # upper-triangle slab only: pairs with group_a < group_b
             # under the sorted rep ids — half the arithmetic

@@ -422,13 +422,17 @@ _PRIORITY_KEYS_R6 = (
 
 # Round-7 window (VERDICT r6 "Next round" #1): the final 23 never-attested
 # keys (18 oracle-checkable first, the 5 rows-only pinned at the very end)
-# plus the 8 re-keyed/re-tiered round-6 rewrites whose official driver
-# attestations predate their current contracts (`dedup_embedding_cosine`,
-# `graph_triangle_count`, `graph_clustering_coefficient`, `graph_pagerank`,
-# `graph_eigenvector_centrality` oracle-checkable; `dedup_minhash` and
-# `simsearch_lsh` rows-only; `dedup_containment` + `stream_scd2_e2e`
-# already re-attested in the r6 window on their new contracts but refreshed
-# here because round 7 touches scd2.py and dedup.py again). The spare slots
+# plus re-attestation slots for the 8 VERDICT-named re-keyed/re-tiered
+# round-6 rewrites (`dedup_embedding_cosine`, `graph_triangle_count`,
+# `graph_clustering_coefficient`, `graph_pagerank`,
+# `graph_eigenvector_centrality`, `dedup_containment` oracle-checkable;
+# `dedup_minhash` and `simsearch_lsh` in the rows-only tail; containment
+# was already re-attested in the r6 window on its new contract, refreshed
+# anyway) and four more refreshed keys: `stream_scd2_e2e` (touched again
+# in round 7 — state-store opens readout), `dedup_cluster_canonical` +
+# `dedup_ngram_jaccard` (r2 attestations predating the round-6 lineage
+# fix in their shared helpers), and `text_ngram_novelty` (re-measured
+# this round). The spare slots
 # refresh sibling keys living in the round-6-rewritten modules (dedup.py,
 # simsearch.py — their r2 attestations predate the shared-helper rewrites)
 # and the round-1 bench headliners. After this window lands, every key in

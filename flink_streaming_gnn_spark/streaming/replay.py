@@ -139,11 +139,13 @@ def run_update_spooled(
     driver ingestion for a 10M-row emission; the spool removes that
     entirely. Returns the spool read back lazily (one columnar scan).
 
-    With ``keep_state=True`` the checkpoint directory is preserved (like
-    the spool, it lives in tmp for the session) and returned alongside
-    the result, so the caller can read the drained query's FINAL keyed
+    With ``keep_state=True`` the checkpoint directory is preserved until
+    process exit (like the spool, it lives in tmp for the session —
+    both are registered for atexit cleanup) and returned alongside the
+    result, so the caller can read the drained query's FINAL keyed
     state back through Spark 4's ``statestore`` data source — a genuine
     drain-time state readout (VERDICT r6 "Next round" #6)."""
+    import contextlib
     import uuid
 
     spark = stream_df.sparkSession
@@ -151,14 +153,20 @@ def run_update_spooled(
     spool = os.path.join(
         tempfile.gettempdir(), f"stream_spool_{query_name}_{run_id}"
     )
+    _cleanup_at_exit(spool)
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(spool)
 
     if keep_state:
-        ckpt = os.path.join(
+        kept = os.path.join(
             tempfile.gettempdir(), f"stream_ckpt_{query_name}_{run_id}"
         )
+        _cleanup_at_exit(kept)
+        ckpt_ctx = contextlib.nullcontext(kept)
+    else:
+        ckpt_ctx = tempfile.TemporaryDirectory()
+    with ckpt_ctx as ckpt:
         q = (
             stream_df.writeStream.outputMode("update")
             .foreachBatch(sink)
@@ -167,17 +175,20 @@ def run_update_spooled(
             .start()
         )
         q.awaitTermination()
-        return spark.read.parquet(spool), ckpt
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            stream_df.writeStream.outputMode("update")
-            .foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    if keep_state:
+        return spark.read.parquet(spool), kept
     return spark.read.parquet(spool)
+
+
+def _cleanup_at_exit(path: str) -> None:
+    """Register a tmp artifact dir (spool / kept checkpoint) for removal
+    at interpreter exit — lazily-read results stay valid for the whole
+    session, but repeated bench/probe loops no longer accumulate
+    event-sized parquet spools in /tmp forever."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
 def _run_mode(stream_df: DataFrame, query_name: str, mode: str) -> DataFrame:

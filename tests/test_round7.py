@@ -66,18 +66,23 @@ def test_gram_candidates_covers_brute_force_on_skewed_block():
 
 
 def test_gram_candidates_multi_slab_parity():
-    """Force many slabs (tiny slab budget) — same pairs as one slab."""
+    """Force 1, several, and n slabs via the slab_scores seam — the slab
+    offset arithmetic (`+ s`, `ia < ib` across slab boundaries) must
+    give identical pairs in every geometry; also re-run with shuffled
+    input row order to pin the sorted-contract determinism (this test's
+    earlier form caught a dropped sort_values during the round-7 kernel
+    refactor)."""
     from flink_streaming_gnn_spark.llm.dedup import _gram_candidates
 
     ids, x = _skewed_block(seed=11)
+    n = len(ids)
     pdf = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
-    one = _gram_candidates(pdf, 0.9)
-    # block = max(16, 2^25 // n) is internal; slab behavior is exercised
-    # via a large n-per-block ratio — instead re-run with the ids split
-    # ordering shuffled to confirm determinism of the sorted contract
-    again = _gram_candidates(pdf.sample(frac=1.0, random_state=3), 0.9)
     key = lambda df: sorted(zip(df["vec_a"].tolist(), df["vec_b"].tolist()))
-    assert key(one) == key(again)
+    one_slab = key(_gram_candidates(pdf, 0.9, slab_scores=n * n))
+    for slab in (n * 7, n * 2, n, 1):  # ~18, 60, 120, 120 slabs at n=120
+        assert key(_gram_candidates(pdf, 0.9, slab_scores=slab)) == one_slab
+    shuffled = pdf.sample(frac=1.0, random_state=3)
+    assert key(_gram_candidates(shuffled, 0.9, slab_scores=n * 7)) == one_slab
 
 
 def test_gram_candidates_residency_guard_raises():
@@ -93,12 +98,14 @@ def test_gram_candidates_residency_guard_raises():
 
 def test_embedding_cosine_query_still_runs(spark):
     """End-to-end smoke after the kernel extraction: group contract
-    columns, deterministic under re-run."""
+    columns, deterministic under a full re-build + re-run."""
     from flink_streaming_gnn_spark.llm.dedup import dedup_embedding_cosine
 
-    out = dedup_embedding_cosine(spark, SF_SMOKE)
-    assert out.columns == ["group_a", "group_b", "cos", "n_a", "n_b"]
-    assert out.count() == out.count()
+    first = dedup_embedding_cosine(spark, SF_SMOKE)
+    assert first.columns == ["group_a", "group_b", "cos", "n_a", "n_b"]
+    rows_a = sorted(map(tuple, first.collect()))
+    rows_b = sorted(map(tuple, dedup_embedding_cosine(spark, SF_SMOKE).collect()))
+    assert rows_a == rows_b
 
 
 # --- stream_scd2_e2e: state-store readout of the open tail ----------------

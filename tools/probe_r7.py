@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import sys
 import time
 
@@ -21,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flink_streaming_gnn_spark import registry  # noqa: E402
 from flink_streaming_gnn_spark.session import get_spark  # noqa: E402
+
+# published blown-corpus dirs are graft_blown_<12-hex>; bench.py's
+# mkdtemp staging dirs carry an extra random suffix and may be
+# incomplete (crashed run) — never probe against those
+_PUBLISHED = re.compile(r"graft_blown_[0-9a-f]{12}$")
 
 KEYS = (
     "text_ngram_novelty",
@@ -32,9 +38,11 @@ KEYS = (
 
 
 def main() -> None:
-    dirs = sorted(glob.glob("/tmp/graft_blown_*"))
+    dirs = sorted(
+        d for d in glob.glob("/tmp/graft_blown_*") if _PUBLISHED.search(d)
+    )
     if not dirs:
-        raise SystemExit("no blown corpus cache; run bench.py first")
+        raise SystemExit("no published blown corpus cache; run bench.py first")
     blown = dirs[0]
     spark = get_spark("probe_r7")
     queries = registry.all_queries()
