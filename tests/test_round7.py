@@ -171,6 +171,40 @@ def test_scd2_e2e_matches_batch_twin_after_state_readout(spark):
     assert streamed == batch
 
 
+# --- attestation window: the round-7 deliverable ---------------------------
+
+
+def test_r7_window_covers_all_pending_keys():
+    """The driver records the first 50 registration-ordered keys; the
+    round-7 deliverable is that ALL 23 never-attested keys (per the
+    CORRECTNESS_r01..r06 artifacts) sit inside that window, rows-only
+    keys last. Guards the window against any registry edit between now
+    and the driver run."""
+    import glob
+    import json
+    import os
+
+    from flink_streaming_gnn_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        attested.update(json.load(open(path)))
+    queries = registry.all_queries()
+    window = list(queries)[:50]
+    pending = [k for k in queries if k not in attested]
+    assert len(window) == 50
+    missing = [k for k in pending if k not in window]
+    assert missing == [], f"never-attested keys outside the window: {missing}"
+    oracle = registry.all_oracle_sql()
+    rows_only_positions = [i for i, k in enumerate(window) if k not in oracle]
+    # rows-only keys are contiguous at the window tail (oracle-checkable
+    # attestations never displaced by a weaker rows-only check)
+    assert rows_only_positions == list(
+        range(50 - len(rows_only_positions), 50)
+    )
+
+
 # --- dense graph tier: slab-blocked masked A² -----------------------------
 
 
