@@ -171,6 +171,81 @@ def test_scd2_e2e_matches_batch_twin_after_state_readout(spark):
     assert streamed == batch
 
 
+# --- property tests: the round-7 kernels under hypothesis ------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_gram_candidates_margin_contract_random(seed):
+    """Randomized margin-contract check, including degenerate inputs the
+    planted fixture can't produce: empty blocks, single rows, exact
+    clones, zero vectors (the 1e-30 norm guard maps them to cos 0), and
+    slab geometries from 1 row to one-shot. Contract: float64-exact
+    matches at 0.9 are a subset of the kernel's candidates at
+    0.9 − 1e-4, and every extra candidate lies in the float32 margin
+    band."""
+    from flink_streaming_gnn_spark.llm.dedup import _gram_candidates
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 40))
+    d = int(rng.integers(2, 9))
+    rows = []
+    for _ in range(n):
+        kind = rng.integers(0, 4)
+        if kind == 0 and rows:  # exact clone of an earlier row
+            rows.append(rows[int(rng.integers(0, len(rows)))].copy())
+        elif kind == 1:  # zero vector — exercises the norm guard
+            rows.append(np.zeros(d))
+        elif kind == 2 and rows:  # near-clone
+            rows.append(rows[int(rng.integers(0, len(rows)))] + rng.normal(scale=0.01, size=d))
+        else:
+            rows.append(rng.normal(size=d))
+    ids = rng.permutation(max(n * 2, 1))[:n].astype(np.int64)
+    x = np.asarray(rows, dtype=np.float64).reshape(n, d)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
+    slab = int(rng.choice([1, 3, max(n, 1), 1 << 25]))
+    got = _gram_candidates(pdf, 0.9 - 1e-4, slab_scores=slab)
+    got_pairs = set(zip(got["vec_a"].tolist(), got["vec_b"].tolist()))
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    xn = x / np.maximum(norms, 1e-30)
+    cos = xn @ xn.T
+    order = np.argsort(ids)
+    exact, band = set(), {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = int(ids[order[i]]), int(ids[order[j]])
+            c = float(cos[order[i], order[j]])
+            band[(a, b)] = c
+            if c >= 0.9:
+                exact.add((a, b))
+    assert exact <= got_pairs
+    for p in got_pairs - exact:
+        assert band[p] >= 0.9 - 2e-4, (p, band[p])
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_masked_a2_rowsums_random_graphs(seed):
+    """Slabbed masked-A² row sums equal the one-shot dense reference on
+    random symmetric graphs across random slab budgets — including the
+    empty graph and the complete graph."""
+    from flink_streaming_gnn_spark.graph.triangles import _masked_a2_rowsums
+
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 60))
+    adj = np.zeros((n, n), dtype=np.float32)
+    if seed % 4 == 0:
+        adj[:] = 1.0
+        np.fill_diagonal(adj, 0.0)  # complete graph
+    elif seed % 4 != 1:  # seed % 4 == 1 leaves the empty graph
+        m = int(rng.integers(0, n * 3 + 1))
+        for a, b in rng.integers(0, n, size=(m, 2)):
+            if a != b:
+                adj[a, b] = adj[b, a] = 1.0
+    want = ((adj @ adj) * adj).sum(axis=1, dtype=np.float64)
+    slab = int(rng.choice([1, 7, n, n * n, 1 << 26]))
+    got = _masked_a2_rowsums(adj, slab_floats=slab)
+    assert np.array_equal(got, want), (n, slab)
+
+
 # --- attestation window: the round-7 deliverable ---------------------------
 
 
