@@ -22,24 +22,37 @@ Training = EM over the word-frequency dictionary:
    next round's closure.
 
 Scale posture: per round, one Arrow pass over the word dict + one
-|vocab|-bounded agg; no shuffle grows with the corpus. Registry keys
-are rows-only: expected counts are float sums whose partition order
-varies, so cross-engine hash equality is not defined (same
-justification as the training-loss keys); the full EM is pinned
-against a from-scratch pure-Python implementation in
-tests/test_round5.py instead, and piece-set/row-count invariants hold
-exactly.
+|vocab|-bounded agg; no shuffle grows with the corpus.
+
+Exactness discipline (round 8 — VERDICT r7 "Next round" #4, formerly
+the last two rows-only LLM keys): the house round-per-round rule that
+made k-means/PageRank/IVF hash-exact, applied to EM.
+
+* **M-step rounding**: each round's renormalized piece probabilities
+  are rounded to 6 dp (pieces rounding to 0 dropped) in BOTH engines.
+  Pre-round cross-engine drift is partition-order float noise
+  (~1e-13 relative); post-round the next E-step's inputs are
+  bit-identical doubles, so error never compounds across rounds.
+* **Product-space Viterbi**: encode scores segmentations by the
+  PRODUCT of (rounded) piece probabilities, not a log-sum — IEEE
+  multiplication of identical doubles is bit-identical everywhere,
+  whereas libm ``log`` may differ in the last ulp between engines.
+  No underflow: ≥1e-6 probs, ≤ corpus-max word length factors.
+* **Oracle**: the full trainer — seed substring counts, EM
+  forward–backward (alpha/beta carried as LIST columns in recursive
+  CTEs, term order matching the Python kernel's), M-step rounding,
+  Viterbi with the longer-last-piece tie-break as a max-by-(score,
+  piece-length) CASE — is generated as one DuckDB SQL program by
+  ``_unigram_oracle_sql``; both keys hash-match.
 
 ``tokenizer_unigram_encode``: Viterbi best segmentation per word under
-the trained probabilities (deterministic tie-break: at equal
-log-likelihood prefer the longer last piece, then lexicographic),
-emitting per-document token statistics — the unigram twin of
-``tokenizer_bpe_encode``.
+the trained probabilities (deterministic tie-break: at equal product
+prefer the longer last piece, then the scan order — equivalent to
+max-by-(score, last-piece-length)), emitting per-document token
+statistics — the unigram twin of ``tokenizer_bpe_encode``.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +62,7 @@ from flink_streaming_gnn_spark.sources.tables import load_table
 SEED_MAX_LEN = 4
 VOCAB_EXTRA = 48  # multi-char pieces kept beyond the single-char floor
 EM_ROUNDS = 3
+PROB_DP = 6  # M-step per-round rounding (exactness discipline above)
 
 
 def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +89,9 @@ def _seed_vocab(wf: DataFrame) -> DataFrame:
 
 def _em_round(wf: DataFrame, vocab: dict[str, float]) -> list[tuple[str, float]]:
     """One E-step over the word dict (Arrow batches) + M-step driver
-    read; returns the renormalized (piece, prob) table (|vocab| rows)."""
+    read; returns the renormalized (piece, prob) table (≤ |vocab| rows),
+    probs rounded to PROB_DP (zero-rounded pieces dropped) so both
+    engines enter the next round with bit-identical doubles."""
     items = sorted(vocab.items())
     pieces = [p for p, _ in items]
     probs = [pr for _, pr in items]
@@ -128,8 +144,14 @@ def _em_round(wf: DataFrame, vocab: dict[str, float]) -> list[tuple[str, float]]
     rows = (
         out.groupBy("piece").agg(F.sum("ec").alias("ec")).collect()
     )  # ≤ |vocab| rows — bounded driver read
+    rows.sort(key=lambda r: r["piece"])  # deterministic total-sum order
     total = sum(r["ec"] for r in rows)
-    return [(r["piece"], r["ec"] / total) for r in rows]
+    out_rows = []
+    for r in rows:
+        pr = round(r["ec"] / total, PROB_DP)
+        if pr > 0:
+            out_rows.append((r["piece"], pr))
+    return out_rows
 
 
 def _train(spark: SparkSession, sf_dir: str) -> list[tuple[str, float]]:
@@ -142,7 +164,7 @@ def _train(spark: SparkSession, sf_dir: str) -> list[tuple[str, float]]:
         .limit(VOCAB_EXTRA)
     )
     rows = chars.unionByName(multi).collect()  # |vocab|-bounded read
-    total = sum(r["cnt"] for r in rows)
+    total = sum(r["cnt"] for r in rows)  # int sum — exact in both engines
     vocab = {r["piece"]: r["cnt"] / total for r in rows}
     for _ in range(EM_ROUNDS):
         vocab = dict(_em_round(wf, vocab))
@@ -150,11 +172,12 @@ def _train(spark: SparkSession, sf_dir: str) -> list[tuple[str, float]]:
 
 
 def tokenizer_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained unigram vocabulary: (rank, piece, prob) — rows-only (float
-    partial-sum order; module docstring), EM pinned vs pure Python."""
+    """Trained unigram vocabulary: (rank, piece, prob). Hash-exact vs the
+    DuckDB recursive-CTE trainer (module docstring's exactness
+    discipline); EM also pinned vs pure Python in tests/test_round5.py."""
     trained = _train(spark, sf_dir)
     return spark.createDataFrame(
-        [(i + 1, p, round(pr, 6)) for i, (p, pr) in enumerate(trained)],
+        [(i + 1, p, pr) for i, (p, pr) in enumerate(trained)],
         schema="rank long, piece string, prob double",
     )
 
@@ -162,17 +185,18 @@ def tokenizer_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viterbi-encode every document with the trained unigram model;
     per-doc (n_words, n_tokens, chars_per_token) — the unigram twin of
-    tokenizer_bpe_encode. Rows-only (inherits training's float sums)."""
+    tokenizer_bpe_encode. Hash-exact: the trained probs are 6-dp
+    quantized (bit-identical cross-engine), and the product-space DP on
+    them is pure IEEE multiplication (module docstring)."""
     trained = _train(spark, sf_dir)
     pieces = [p for p, _ in trained]
-    logps = [math.log(pr) for _, pr in trained]
+    probs = [pr for _, pr in trained]
     max_len = max(len(p) for p in pieces)
 
     def encode(batches):
         import pandas as pd
 
-        lp = dict(zip(pieces, logps))
-        NEG = float("-inf")
+        pv = dict(zip(pieces, probs))
         for pdf in batches:
             doc_ids, n_words_l, n_toks_l, n_chars_l = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -181,19 +205,21 @@ def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_chars = 0
                 for w in words:
                     n = len(w)
-                    best = [NEG] * (n + 1)
+                    best: list[float | None] = [None] * (n + 1)
                     blen = [0] * (n + 1)  # length of best last piece
                     bcnt = [0] * (n + 1)
-                    best[0] = 0.0
+                    best[0] = 1.0
                     for i in range(1, n + 1):
                         for j in range(max(0, i - max_len), i):
-                            pr = lp.get(w[j:i])
-                            if pr is None or best[j] == NEG:
+                            pr = pv.get(w[j:i])
+                            if pr is None or best[j] is None:
                                 continue
-                            cand = best[j] + pr
+                            cand = best[j] * pr
                             # tie-break: longer last piece wins
-                            if cand > best[i] or (
-                                cand == best[i] and i - j > blen[i]
+                            if (
+                                best[i] is None
+                                or cand > best[i]
+                                or (cand == best[i] and i - j > blen[i])
                             ):
                                 best[i] = cand
                                 blen[i] = i - j
@@ -209,22 +235,262 @@ def tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": doc_ids,
                     "n_words": n_words_l,
                     "n_tokens": n_toks_l,
-                    "chars_per_token": [
-                        round(c / t, 4) if t else 0.0
-                        for c, t in zip(n_chars_l, n_toks_l)
-                    ],
+                    "n_chars": n_chars_l,
                 }
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(
-        encode,
-        schema="doc_id long, n_words long, n_tokens long, chars_per_token double",
-    ).orderBy("doc_id")
+    # chars/token division + rounding happen JVM-side: Spark F.round is
+    # HALF_UP like DuckDB's round(); Python's round() is banker's and
+    # diverges on dyadic-rational quotients that land exactly on a 4-dp
+    # half boundary (e.g. 315/224 = 1.40625 → 1.4062 vs 1.4063)
+    return (
+        docs.mapInPandas(
+            encode,
+            schema="doc_id long, n_words long, n_tokens long, n_chars long",
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_chars") / F.col("n_tokens"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generation. One SQL program re-derives the whole trainer:
+# word dict → seed substring counts → EM_ROUNDS × (alpha/beta recursive
+# CTEs carrying the lattice as DOUBLE[] history lists, expected-count agg,
+# 6-dp-rounded renormalization) → ranked vocab / product-space Viterbi.
+# Term-order notes matter: the alpha sum adds candidate pieces LONGEST
+# first (the Python kernel's `j` ascending), beta SHORTEST first — kept
+# identical so pre-round floats agree to partition noise, which the 6-dp
+# round then absorbs. All literals are cast to DOUBLE explicitly (DuckDB
+# parses bare decimals as DECIMAL and silently coerces/rounds).
+#
+# Vocab lookups inside recursive terms are MAP extractions on a carried
+# `pm` column (each round's vocab folded once into a MAP, cross-joined
+# into the recursion base), NOT correlated scalar subqueries: DuckDB
+# 1.0's decorrelation of scalar subqueries inside recursive terms is
+# non-deterministic when several such recursions share one plan
+# (observed: identical alpha CTE returning different z vectors across
+# evaluations of the same query). Pure expressions on carried columns
+# are immune.
+
+
+def _pm_get(piece_expr: str) -> str:
+    """MAP lookup returning 0.0 for absent pieces (the E-step's `if pr`)."""
+    return (
+        f"coalesce(list_extract(map_extract(pm, {piece_expr}), 1),"
+        " CAST(0 AS DOUBLE))"
+    )
+
+
+def _alpha_terms() -> str:
+    # alpha_{i+1} = sum over piece length L (longest-first, matching the
+    # Python kernel's ascending-j loop) of prob(word[i+2-L .. i+1]) * alpha_{i+1-L}
+    terms = []
+    for L in range(SEED_MAX_LEN, 0, -1):
+        terms.append(
+            f"CASE WHEN i + 1 >= {L} THEN "
+            f"{_pm_get(f'substr(word, i + 2 - {L}, {L})')}"
+            f" * ah[i + 2 - {L}] ELSE CAST(0 AS DOUBLE) END"
+        )
+    return " + ".join(terms)
+
+
+def _beta_terms() -> str:
+    # beta_{i-1} = sum over L (shortest-first, matching Python's ascending
+    # j) of prob(word[i .. i+L-1]) * beta_{i-1+L}; bh[k] = beta_{n-k+1}
+    terms = []
+    for L in range(1, SEED_MAX_LEN + 1):
+        terms.append(
+            f"CASE WHEN {L} <= n - i + 1 THEN "
+            f"{_pm_get(f'substr(word, i, {L})')}"
+            f" * bh[n - i - {L} + 2] ELSE CAST(0 AS DOUBLE) END"
+        )
+    return " + ".join(terms)
+
+
+def _em_round_sql(r: int, prev: str) -> str:
+    return f"""
+    pm{r} AS MATERIALIZED (
+        SELECT map(list(piece ORDER BY piece), list(prob ORDER BY piece))
+               AS pm
+        FROM {prev}
+    ),
+    alpha{r}(word, freq, n, i, ah, pm) AS (
+        SELECT word, freq, n, 0, CAST([1.0] AS DOUBLE[]), pm
+        FROM wf, pm{r}
+        UNION ALL
+        SELECT word, freq, n, i + 1, list_append(ah, {_alpha_terms()}), pm
+        FROM alpha{r} WHERE i < n
+    ),
+    beta{r}(word, n, i, bh, pm) AS (
+        SELECT word, n, n, CAST([1.0] AS DOUBLE[]), pm FROM wf, pm{r}
+        UNION ALL
+        SELECT word, n, i - 1, list_append(bh, {_beta_terms()}), pm
+        FROM beta{r} WHERE i > 0
+    ),
+    lat{r} AS MATERIALIZED (
+        SELECT a.word, a.freq, a.n, a.ah, b.bh, a.ah[a.n + 1] AS z
+        FROM (SELECT * FROM alpha{r} WHERE i = n) a
+        JOIN (SELECT * FROM beta{r} WHERE i = 0) b USING (word)
+        WHERE a.ah[a.n + 1] > 0
+    ),
+    ec{r} AS MATERIALIZED (
+        SELECT substr(word, i + 1, L) AS piece,
+               sum(freq * ah[i + 1] * v.prob * bh[n - i - L + 1] / z) AS ec
+        FROM (
+            SELECT *, unnest([1, 2, 3, 4]) AS L
+            FROM (
+                SELECT word, freq, n, ah, bh, z,
+                       unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+                FROM lat{r}
+            )
+        ) sp
+        JOIN {prev} v ON v.piece = substr(sp.word, sp.i + 1, sp.L)
+        WHERE i + L <= n
+        GROUP BY substr(word, i + 1, L)
+    ),
+    voc{r} AS MATERIALIZED (
+        SELECT piece,
+               round(ec / (SELECT sum(ec) FROM ec{r}), {PROB_DP}) AS prob
+        FROM ec{r}
+        WHERE round(ec / (SELECT sum(ec) FROM ec{r}), {PROB_DP}) > 0
+    )"""
+
+
+def _viterbi_cands() -> str:
+    # product-space DP candidates, longest piece first (CASE arm order =
+    # the longer-last-piece tie-break); NULL = piece absent/unreachable
+    # (map_extract of a missing key is NULL — deliberately NO coalesce)
+    lines = []
+    for L in range(SEED_MAX_LEN, 0, -1):
+        lines.append(
+            f"CASE WHEN i + 1 >= {L} THEN "
+            f"list_extract(map_extract(pm, substr(word, i + 2 - {L}, {L})), 1)"
+            f" * bests[i + 2 - {L}] ELSE NULL END AS c{L}"
+        )
+    return ",\n               ".join(lines)
+
+
+def _viterbi_bcnt() -> str:
+    ls = list(range(SEED_MAX_LEN, 0, -1))
+    best = "list_max([" + ", ".join(f"c{L}" for L in ls) + "])"
+    arms = "\n                 ".join(
+        f"WHEN c{L} IS NOT NULL AND c{L} = {best} THEN bcnts[i + 2 - {L}] + 1"
+        for L in ls
+    )
+    return f"CASE {arms}\n                 ELSE NULL END"
+
+
+def _unigram_oracle_sql(mode: str) -> str:
+    """mode='train' → (rank, piece, prob); mode='encode' → per-doc stats."""
+    rounds = "".join(
+        "," + _em_round_sql(r, f"voc{r - 1}" if r > 1 else "voc0")
+        for r in range(1, EM_ROUNDS + 1)
+    )
+    final_voc = f"voc{EM_ROUNDS}"
+    prelude = f"""
+    WITH RECURSIVE
+    wf AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS DOUBLE) AS freq, length(word) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    seed AS MATERIALIZED (
+        SELECT piece, sum(freq) AS cnt
+        FROM (
+            SELECT substr(word, i, L) AS piece, freq
+            FROM (
+                SELECT *, unnest([1, 2, 3, 4]) AS L
+                FROM (
+                    SELECT word, freq, n,
+                           unnest(generate_series(1, CAST(n AS BIGINT))) AS i
+                    FROM wf
+                )
+            )
+            WHERE i + L - 1 <= n
+        )
+        GROUP BY piece
+    ),
+    picked AS MATERIALIZED (
+        SELECT piece, cnt FROM seed WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM seed WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece ASC LIMIT {VOCAB_EXTRA}
+        )
+    ),
+    voc0 AS MATERIALIZED (
+        SELECT piece, cnt / (SELECT sum(cnt) FROM picked) AS prob
+        FROM picked
+    ){rounds}"""
+    if mode == "train":
+        return f"""{prelude}
+    SELECT row_number() OVER (ORDER BY prob DESC, piece ASC) AS rank,
+           piece, prob
+    FROM {final_voc}
+    """
+    return f"""{prelude},
+    pmv AS MATERIALIZED (
+        SELECT map(list(piece ORDER BY piece), list(prob ORDER BY piece))
+               AS pm
+        FROM {final_voc}
+    ),
+    vit(word, n, i, bests, bcnts, pm) AS (
+        SELECT word, n, 0, CAST([1.0] AS DOUBLE[]), CAST([0] AS BIGINT[]), pm
+        FROM wf, pmv
+        UNION ALL
+        SELECT word, n, i + 1,
+               list_append(bests, list_max([{", ".join(f"c{L}" for L in range(SEED_MAX_LEN, 0, -1))}])),
+               list_append(bcnts, {_viterbi_bcnt()}),
+               pm
+        FROM (
+            SELECT *,
+               {_viterbi_cands()}
+            FROM vit WHERE i < n
+        ) s
+    ),
+    vit_fin AS MATERIALIZED (
+        SELECT word, n, coalesce(bcnts[n + 1], 0) AS tok
+        FROM vit WHERE i = n
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n) AS BIGINT) AS n_chars
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) dw
+        JOIN vit_fin USING (word)
+        WHERE word <> ''
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_words, CAST(0 AS BIGINT)) AS n_words,
+           coalesce(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+           CASE WHEN coalesce(p.n_tokens, 0) > 0
+                THEN round(CAST(p.n_chars AS DOUBLE) / p.n_tokens, 4)
+                ELSE CAST(0.0 AS DOUBLE) END AS chars_per_token
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
 
 
 QUERIES = {
     "tokenizer_unigram_train": tokenizer_unigram_train,
     "tokenizer_unigram_encode": tokenizer_unigram_encode,
 }
-ORACLE: dict[str, str] = {}  # rows-only: float partial-sum order (docstring)
+ORACLE: dict[str, str] = {
+    "tokenizer_unigram_train": _unigram_oracle_sql("train"),
+    "tokenizer_unigram_encode": _unigram_oracle_sql("encode"),
+}
