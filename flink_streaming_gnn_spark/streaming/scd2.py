@@ -149,7 +149,7 @@ def scd2_open_rows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
-        run_update_spooled,
+        run_update_spooled_with_state,
     )
 
     stream = events_stream(spark, sf_dir, files_per_trigger=2).select(
@@ -162,8 +162,8 @@ def stream_scd2_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (x10 probe: the memory sink alone cost ~90 s at 10M rows); the
     # checkpoint is kept so the open tail can be read FROM THE STATE
     # STORE itself below
-    closed, ckpt = run_update_spooled(
-        scd2_state_machine(stream), "scd2_e2e", keep_state=True
+    closed, ckpt = run_update_spooled_with_state(
+        scd2_state_machine(stream), "scd2_e2e"
     )
     # open (current) rows: drain-time readout of the state store via the
     # Spark 4 `statestore` data source — the per-user open interval IS

@@ -120,7 +120,7 @@ def test_scd2_state_store_opens_equal_batch_reconstruction(spark):
 
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
-        run_update_spooled,
+        run_update_spooled_with_state,
     )
     from flink_streaming_gnn_spark.streaming.scd2 import (
         scd2_open_rows_batch,
@@ -133,8 +133,8 @@ def test_scd2_state_store_opens_equal_batch_reconstruction(spark):
         "event_id",
         "event_type",
     )
-    _closed, ckpt = run_update_spooled(
-        scd2_state_machine(stream), "scd2_r7_state_test", keep_state=True
+    _closed, ckpt = run_update_spooled_with_state(
+        scd2_state_machine(stream), "scd2_r7_state_test"
     )
     state_opens = {
         r["user_id"]: (r["event_id"], r["event_type"], r["vf_us"])
