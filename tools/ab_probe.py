@@ -54,11 +54,26 @@ for key in keys:
 """
 
 
-def _wait_idle(threshold: float = 1.0) -> None:
+def _wait_idle(threshold: float = 1.0, max_wait_s: float = 1800.0) -> None:
+    """Block until 1-min load drops below ``threshold``; proceed with a
+    warning after ``max_wait_s`` (a probe that silently hangs forever on
+    a busy box is worse than a noisier arm — ADVICE r7). Prints a
+    periodic notice so the wait is visible."""
+    start = time.monotonic()
     while True:
         with open("/proc/loadavg") as f:
-            if float(f.read().split()[0]) < threshold:
-                return
+            load = float(f.read().split()[0])
+        if load < threshold:
+            return
+        waited = time.monotonic() - start
+        if waited >= max_wait_s:
+            print(
+                f"WARNING: box never went idle in {max_wait_s:.0f}s "
+                f"(load {load}); proceeding — treat this arm as noisy",
+                flush=True,
+            )
+            return
+        print(f"waiting for idle (load={load}, {waited:.0f}s)", flush=True)
         time.sleep(15)
 
 
@@ -69,7 +84,15 @@ def _run_arm(tree: str, keys: list[str]) -> str:
         text=True,
         cwd=tempfile.gettempdir(),  # foreign cwd, like the driver
     )
-    return out.stdout.strip() or out.stderr.strip()[-400:]
+    # always surface a nonzero exit + stderr tail: an arm that printed a
+    # few per-key lines and then crashed must not read as a clean short
+    # run (ADVICE r7 — that skews the A/B verdict silently)
+    parts = [out.stdout.strip()]
+    if out.returncode != 0:
+        parts.append(f"ARM FAILED (exit {out.returncode})")
+    if out.returncode != 0 or not out.stdout.strip():
+        parts.append(out.stderr.strip()[-400:])
+    return "\n".join(p for p in parts if p)
 
 
 def main() -> None:
