@@ -4,11 +4,20 @@
    row (VERDICT r7 "What's wrong" #1: 0 Spark rows = 0 oracle rows at
    sf0.01 proved nothing). The planted key must be non-empty at every
    fixture scale, with the planted structure exactly as documented.
+2. Crash-recovery drill (VERDICT r7 "Next round" #5): the two flagship
+   stateful streams killed after their first trigger and resumed from
+   the checkpoint must reach the IDENTICAL final state as an
+   uninterrupted drain, with exactly-once sink semantics across the
+   restart (idempotent per-batch-id spool overwrite).
+3. `source_rate_ingest` determinism (VERDICT r7 "Next round" #7).
 """
 
 from __future__ import annotations
 
 import math
+import os
+import tempfile
+import time
 
 import numpy as np
 import pytest
@@ -117,3 +126,217 @@ def test_planted_matches_brute_force(spark, planted):
                 expected.add((ra, rb))
     got = set(zip(planted.group_a.tolist(), planted.group_b.tolist()))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Crash-recovery drill: stop after trigger 0, resume from the checkpoint.
+
+
+def _run_one_trigger_then_stop(writer_start):
+    """Start a processingTime-triggered stream (batch 0 fires
+    immediately, batch 1 not for 100 s), wait for batch 0 to COMMIT
+    (lastProgress posts after the commit), hard-stop. Returns nothing —
+    the caller inspects the sink/checkpoint."""
+    q = writer_start()
+    deadline = time.time() + 120
+    while q.lastProgress is None and time.time() < deadline:
+        time.sleep(0.5)
+    assert q.lastProgress is not None, "batch 0 never committed"
+    q.stop()
+    q.awaitTermination()
+
+
+def test_scd2_crash_resume_identical(spark):
+    """stream_scd2_e2e's machinery killed after trigger 0 and resumed
+    from the checkpoint: closed-row spool AND state-store open tail must
+    equal the uninterrupted run's, with every closed event_id emitted
+    exactly once across the restart."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_gnn_spark.streaming.replay import (
+        events_stream,
+        run_update_spooled_with_state,
+    )
+    from flink_streaming_gnn_spark.streaming.scd2 import scd2_state_machine
+    from tests.conftest import SF_SMOKE
+
+    def stream():
+        return events_stream(spark, SF_SMOKE, files_per_trigger=2).select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            "event_type",
+        )
+
+    def read_opens(ckpt: str):
+        return sorted(
+            (r["user_id"], r["event_id"], r["event_type"], r["vf_us"])
+            for r in spark.read.format("statestore")
+            .option("path", ckpt)
+            .load()
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.groupState.o_eid").alias("event_id"),
+                F.col("value.groupState.o_et").alias("event_type"),
+                F.col("value.groupState.o_us").alias("vf_us"),
+            )
+            .collect()
+        )
+
+    with tempfile.TemporaryDirectory() as work:
+        ckpt = os.path.join(work, "ckpt")
+        spool = os.path.join(work, "spool")
+
+        def sink(batch_df, batch_id):
+            # idempotent per-batch-id target: a batch re-run after the
+            # crash OVERWRITES its own output instead of double-appending
+            # — the standard exactly-once foreachBatch discipline
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(spool, f"batch={batch_id}")
+            )
+
+        def writer(trigger_kwargs):
+            return lambda: (
+                scd2_state_machine(stream())
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger_kwargs)
+                .start()
+            )
+
+        # phase 1: exactly one committed trigger, then hard stop
+        _run_one_trigger_then_stop(writer({"processingTime": "100 seconds"}))
+        n_partial = spark.read.parquet(spool).count()
+
+        # phase 2: resume from the same checkpoint, drain the rest
+        q2 = writer({"availableNow": True})()
+        q2.awaitTermination()
+
+        closed = spark.read.parquet(spool)
+        closed_rows = sorted(
+            (r["user_id"], r["event_id"], r["event_type"], r["vf_us"], r["vt_us"])
+            for r in closed.select(
+                "user_id", "event_id", "event_type", "vf_us", "vt_us"
+            ).collect()
+        )
+        # exactly-once across the restart: event_id is unique per closed
+        # interval, so any replay would surface as a duplicate
+        ids = [r[1] for r in closed_rows]
+        assert len(ids) == len(set(ids))
+        opens_resumed = read_opens(ckpt)
+
+    # uninterrupted reference run (fresh spool + kept checkpoint)
+    ref_closed_df, ref_ckpt = run_update_spooled_with_state(
+        scd2_state_machine(stream()), "scd2_r8_uninterrupted"
+    )
+    ref_closed = sorted(
+        (r["user_id"], r["event_id"], r["event_type"], r["vf_us"], r["vt_us"])
+        for r in ref_closed_df.select(
+            "user_id", "event_id", "event_type", "vf_us", "vt_us"
+        ).collect()
+    )
+    assert 0 < n_partial < len(ref_closed)  # phase 1 really was partial
+    assert closed_rows == ref_closed  # resumed ≡ uninterrupted (closed)
+    assert opens_resumed == read_opens(ref_ckpt)  # ... and (open tail)
+
+
+def test_cc_crash_resume_identical(spark):
+    """stream_cc_e2e's incremental state machinery killed after trigger 0
+    and resumed: the final label summary must equal the uninterrupted
+    registry key's. The drill's foreachBatch derives its prior state
+    from DISK (latest committed version < batch_id), which is exactly
+    what makes the resume correct: a re-run batch overwrites its own
+    version directory and rebuilds from its true predecessor."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_gnn_spark.streaming.graphcc import (
+        edges_stream,
+        merge_batch,
+        stream_cc_e2e,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def summarize(labels):
+        return sorted(
+            (r["lbl"], r["n"])
+            for r in labels.groupBy("lbl")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        )
+
+    with tempfile.TemporaryDirectory() as work:
+        ckpt = os.path.join(work, "ckpt")
+        state_root = os.path.join(work, "state")
+        os.makedirs(state_root)
+
+        def latest_version_below(batch_id):
+            versions = [
+                int(d[1:])
+                for d in os.listdir(state_root)
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+            ]
+            return max(versions) if versions else None
+
+        def apply_batch(batch_df, batch_id):
+            b = (
+                batch_df.select(
+                    (F.col("src") * 2).alias("a"),
+                    (F.col("dst") * 2 + 1).alias("b"),
+                )
+                .distinct()
+            )
+            und = b.union(b.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            v = latest_version_below(batch_id)
+            prior = (
+                spark.read.parquet(os.path.join(state_root, f"v{v}"))
+                if v is not None
+                else None
+            )
+            labels = merge_batch(prior, und)
+            labels.write.mode("overwrite").parquet(
+                os.path.join(state_root, f"v{batch_id}")
+            )
+
+        def writer(trigger_kwargs):
+            return lambda: (
+                edges_stream(spark, SF_SMOKE)
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger_kwargs)
+                .start()
+            )
+
+        _run_one_trigger_then_stop(writer({"processingTime": "100 seconds"}))
+        versions_after_phase1 = sorted(os.listdir(state_root))
+
+        q2 = writer({"availableNow": True})()
+        q2.awaitTermination()
+
+        final_v = max(int(d[1:]) for d in os.listdir(state_root))
+        assert f"v{final_v}" not in versions_after_phase1  # resume advanced
+        resumed = summarize(
+            spark.read.parquet(os.path.join(state_root, f"v{final_v}"))
+        )
+
+    reference = sorted(
+        (r["component"], r["n_vertices"])
+        for r in stream_cc_e2e(spark, SF_SMOKE)
+        .select("component", "n_vertices")
+        .collect()
+    )
+    assert resumed == reference
+
+
+def test_source_rate_ingest_deterministic(spark):
+    from flink_streaming_gnn_spark.streaming.sources import source_rate_ingest
+
+    a = source_rate_ingest(spark, "ignored").toPandas()
+    assert len(a) == 200
+    assert sorted(a.event_id.tolist()) == list(range(200))
+    # per-element str(), the driver-canon form (Series.astype(str) trims
+    # midnight timestamps to date-only, which the driver does not)
+    assert {str(v) for v in a.ts} == {"1970-01-01 00:00:00"}
+    assert a.loc[a.event_id == 7, "event_type"].iloc[0] == "type_2"
+    assert a.loc[a.event_id == 7, "value"].iloc[0] == 3.5
+    assert a.loc[a.event_id == 7, "props"].iloc[0] == '{"seq":7}'
