@@ -496,8 +496,76 @@ _PRIORITY_KEYS_R7 = (
     "tokenizer_unigram_encode",
 )
 
-# Active attestation order for round 7.
-_PRIORITY_KEYS = _PRIORITY_KEYS_R7
+# Round-8 window: the round's NEW/RE-KEYED contracts first — the planted
+# embedding-dedup companion (non-vacuous oracle, VERDICT r7 "What's
+# wrong" #1), the EXACTIFIED unigram tokenizer pair (rows-only → full
+# hash-match via per-round 6-dp EM rounding + product-space Viterbi,
+# VERDICT r7 "Next round" #4), the new deterministic rate source
+# (VERDICT #7), plus re-attestation slots for the round-8-touched
+# machinery (`dedup_embedding_cosine` — shares the refactored pipeline
+# core; `stream_scd2_e2e` — spooled-drain call-site refactor;
+# `source_kafka_roundtrip` — module sibling of the rate source). The
+# remaining slots refresh the OLDEST attestations in the ledger: 43
+# round-1 keys whose green rows predate every later hardening round —
+# freshness rotation now that zero keys are unattested.
+_PRIORITY_KEYS_R8 = (
+    # --- new / re-keyed this round ---
+    "dedup_embedding_cosine_planted",
+    "tokenizer_unigram_train",
+    "tokenizer_unigram_encode",
+    "source_rate_ingest",
+    # --- round-8-touched machinery, re-attested ---
+    "dedup_embedding_cosine",
+    "stream_scd2_e2e",
+    "source_kafka_roundtrip",
+    # --- oldest (round-1) attestation refreshes ---
+    "agg_hash_group",
+    "agg_distinct",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_salted_skew",
+    "case_when",
+    "filter_pred",
+    "fn_array",
+    "fn_array_dot",
+    "fn_date",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_string",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_full",
+    "join_inner_hash",
+    "join_left",
+    "join_multiway_star",
+    "join_range_interval",
+    "join_right",
+    "join_semi",
+    "join_theta_nl",
+    "limit_topk",
+    "project_compute",
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "semi_anti",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multi",
+    "udaf_grouped_agg",
+    "udf_scalar_pandas",
+    "win_analytic",
+    "win_frame_running",
+    "win_ranking",
+)
+
+# Active attestation order for round 8.
+_PRIORITY_KEYS = _PRIORITY_KEYS_R8
 
 
 def _reorder(d: dict, priority: tuple[str, ...]) -> dict:
