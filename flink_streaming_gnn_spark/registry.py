@@ -518,6 +518,7 @@ _PRIORITY_KEYS_R8 = (
     "dedup_embedding_cosine",
     "stream_scd2_e2e",
     "source_kafka_roundtrip",
+    "graph_closeness_centrality",  # MS-BFS rewrite (×100 probe catch)
     # --- oldest (round-1) attestation refreshes ---
     "agg_hash_group",
     "agg_distinct",
@@ -561,7 +562,6 @@ _PRIORITY_KEYS_R8 = (
     "udf_scalar_pandas",
     "win_analytic",
     "win_frame_running",
-    "win_ranking",
 )
 
 # Active attestation order for round 8.
