@@ -99,37 +99,31 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("clustering"),
         )
-    # degree: each oriented edge contributes to both endpoints
-    deg = (
-        e.select(
-            F.explode(F.array(F.col("a"), F.col("b"))).alias("supplier")
-        )
-        .groupBy("supplier")
-        .agg(F.count("*").cast("long").alias("degree"))
+    # component-blocked distributed tier (round 8 — shared with
+    # graph/triangles.py, whose module comment has the ×100 story):
+    # executor-side per-component BLAS for the safe small components,
+    # degree-ordered oriented joins for the sparse remainder. Per-vertex
+    # (degree, tri) rows union cleanly because components partition the
+    # vertex set; the ascending-id enumeration this replaces had Θ(V³)
+    # wedge fan-out per quasi-clique component at ×100.
+    from flink_streaming_gnn_spark.graph.triangles import (
+        _dense_component_pv,
+        _per_vertex_joins,
+        _split_components,
     )
-    # triangles, each exactly once (a < b < c), exploded to incident vertices
-    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    wedges = e.join(e2, e.b == e2.b2)
-    tris = wedges.join(e3, (wedges.a == e3.a3) & (wedges.c == e3.c3))
-    tri_per_v = (
-        tris.select(
-            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("supplier")
-        )
-        .groupBy("supplier")
-        .agg(F.count("*").cast("long").alias("n_triangles"))
+
+    dense_e, sparse_e = _split_components(e)
+    per_vertex = _dense_component_pv(dense_e).unionByName(
+        _per_vertex_joins(sparse_e)
     )
     return (
-        deg.filter(F.col("degree") >= 2)
-        .join(tri_per_v, "supplier", "left")
+        per_vertex.filter(F.col("degree") >= 2)
         .select(
-            F.col("supplier").cast("long").alias("supplier"),
+            F.col("v").cast("long").alias("supplier"),
             "degree",
-            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.col("tri").cast("long").alias("n_triangles"),
             F.round(
-                2.0
-                * F.coalesce(F.col("n_triangles"), F.lit(0))
-                / (F.col("degree") * (F.col("degree") - 1)),
+                2.0 * F.col("tri") / (F.col("degree") * (F.col("degree") - 1)),
                 6,
             ).alias("clustering"),
         )

@@ -108,6 +108,145 @@ def _count_dense(a_arr, b_arr) -> int:
     return total // 6
 
 
+# Per-COMPONENT dense tier inside the distributed regime (round 8 — the
+# ×100 probe killed both triangle keys: at ×100 the projection is 100
+# disjoint quasi-cliques of 1 000 suppliers each, V = 100k > the global
+# dense bound, and the oriented-join tier's wedge fan-out on a
+# near-complete component is Θ(V³) PER COMPONENT — ~1.7·10¹⁰ wedge rows,
+# tools/probe_r8_x100.log. "Arboricity-bounded" is vacuous when the
+# component IS a clique). Locally-dense/globally-sparse is the realistic
+# community shape, so the distributed tier now splits by connected
+# component: components small enough for a per-TASK float32 adjacency run
+# the exact same slabbed BLAS kernel inside an Arrow ``applyInPandas``
+# (distributed across executors — this is the dense driver tier made
+# per-component and shipped to workers); only the large-component sparse
+# remainder keeps the oriented joins, the regime they are right for.
+DENSE_COMPONENT_V_BOUND = 4096  # 4096² × 4 B = 64 MiB adjacency per task
+
+
+def _make_component_tri_kernel():
+    """Factory returning the per-component kernel (pickle-by-value rule:
+    an ``applyInPandas`` body must not reference module-level functions —
+    executors driven from a foreign cwd cannot import this package — so
+    the slab loop is inlined rather than calling _masked_a2_rowsums)."""
+
+    def _component_tri(pdf, slab_floats=16 << 20):
+        """One component's a<b edge frame → per-vertex (v, degree, tri).
+        Identical math to the driver dense tier: deg = row-sum of A,
+        T(v) = row-sum of (A² ∘ A)/2, slabbed so per-task transients stay
+        ≤ 2 × 64 MiB beside the ≤ 64 MiB adjacency; A² entries are
+        integers < 2²⁴ (exact in float32), sums accumulate in float64."""
+        import numpy as np
+        import pandas as pd
+
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        verts, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = inv[: len(a)], inv[len(a) :]
+        n = len(verts)
+        adj = np.zeros((n, n), dtype=np.float32)
+        adj[ai, bi] = 1.0
+        adj[bi, ai] = 1.0
+        deg = adj.sum(axis=1, dtype=np.float64).astype(np.int64)
+        out = np.zeros(n, dtype=np.float64)
+        block = max(1, slab_floats // max(n, 1))
+        for s in range(0, n, block):
+            blk = adj[s : s + block]
+            out[s : s + block] = ((blk @ adj) * blk).sum(
+                axis=1, dtype=np.float64
+            )
+        tri = np.rint(out / 2.0).astype(np.int64)
+        return pd.DataFrame({"v": verts, "degree": deg, "tri": tri})
+
+    return _component_tri
+
+
+_component_tri = _make_component_tri_kernel()  # module alias for pytest
+
+
+def _split_components(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the a<b edge list into (dense_e, sparse_e): dense_e carries a
+    component label and contains exactly the edges of SAFE small
+    components (≤ DENSE_COMPONENT_V_BOUND vertices AND edge-closed under
+    the labeling); sparse_e is everything else.
+
+    Correctness does not depend on hash_min_cc converging: if the label
+    propagation stopped early, some true component is split across
+    labels and its boundary edges CROSS labels — any label touched by a
+    crossing edge is marked unsafe and its edges fall back to the join
+    tier, so the dense kernel only ever sees whole induced components."""
+    from flink_streaming_gnn_spark.graph.components import hash_min_cc
+
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = hash_min_cc(und).localCheckpoint()  # (v, lbl)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("vc"))
+    la = labels.select(F.col("v").alias("a"), F.col("lbl").alias("lbl_a"))
+    lb = labels.select(F.col("v").alias("b"), F.col("lbl").alias("lbl_b"))
+    tagged = e.join(la, "a").join(lb, "b").localCheckpoint()
+    unsafe = (
+        tagged.filter(F.col("lbl_a") != F.col("lbl_b"))
+        .select(F.explode(F.array("lbl_a", "lbl_b")).alias("lbl"))
+        .distinct()
+    )
+    safe_small = (
+        sizes.filter(F.col("vc") <= DENSE_COMPONENT_V_BOUND)
+        .join(unsafe, "lbl", "left_anti")
+        .select(F.col("lbl").alias("lbl_a"))
+    )
+    dense_e = (
+        tagged.filter(F.col("lbl_a") == F.col("lbl_b"))
+        .join(safe_small, "lbl_a")
+        .select(F.col("lbl_a").alias("lbl"), "a", "b")
+    )
+    sparse_e = tagged.join(safe_small, "lbl_a", "left_anti").select("a", "b")
+    return dense_e, sparse_e
+
+
+def _dense_component_pv(dense_e: DataFrame) -> DataFrame:
+    """Per-vertex (v, degree, tri) over the safe small components — one
+    Arrow task per component, the BLAS kernel above."""
+    kernel = _make_component_tri_kernel()
+    return dense_e.groupBy("lbl").applyInPandas(
+        lambda pdf: kernel(pdf), "v long, degree long, tri long"
+    )
+
+
+def _per_vertex_joins(e: DataFrame) -> DataFrame:
+    """Per-vertex (v, degree, tri) by degree-ordered oriented two-join
+    enumeration — the sparse-remainder tier (fan-out bounded by the
+    remainder's degeneracy, which is what is left after the dense
+    components are carved out)."""
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("d_b"))
+    ranked = e.join(da, "a").join(db, "b")
+    lo_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    o = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("y"),
+    ).localCheckpoint()  # referenced three times (two wedge arms + close)
+    o2 = o.select(F.col("x").alias("x2"), F.col("y").alias("z"))
+    wedges = o.join(o2, o.y == o2.x2).select("x", "y", "z")
+    o3 = o.select(F.col("x").alias("x3"), F.col("y").alias("z3"))
+    tris = wedges.join(o3, (wedges.x == o3.x3) & (wedges.z == o3.z3))
+    tri_v = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("tri"))
+    )
+    return deg.join(tri_v, "v", "left").select(
+        "v",
+        "degree",
+        F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+    )
+
+
 def _count_distributed(e: DataFrame) -> DataFrame:
     """Degree-ordered orientation + two equi-joins; returns a 1-row
     (n_triangles) frame. Fan-out per wedge vertex is arboricity-bounded."""
@@ -152,7 +291,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = e.toPandas()  # geometry-bounded by the guard; Arrow transfer
         tri = _count_dense(pdf["a"].to_numpy(), pdf["b"].to_numpy())
     else:
-        tri = _count_distributed(e).collect()[0][0]
+        # component-blocked distributed tier (module comment above):
+        # executor-side BLAS for safe small components (Σtri = 3T per
+        # component), oriented joins only for the sparse remainder
+        dense_e, sparse_e = _split_components(e)
+        dense_tri = (
+            _dense_component_pv(dense_e)
+            .agg(F.coalesce(F.expr("sum(tri) div 3"), F.lit(0)).alias("t"))
+            .collect()[0][0]  # 1-row summary
+        )
+        sparse_tri = _count_distributed(sparse_e).collect()[0][0]
+        tri = int(dense_tri) + int(sparse_tri)
     e.unpersist()
     return spark.createDataFrame(
         [(n_edges, tri)], schema="n_edges long, n_triangles long"

@@ -519,6 +519,8 @@ _PRIORITY_KEYS_R8 = (
     "stream_scd2_e2e",
     "source_kafka_roundtrip",
     "graph_closeness_centrality",  # MS-BFS rewrite (×100 probe catch)
+    "graph_triangle_count",  # component-blocked tier (×100 probe catch)
+    "graph_clustering_coefficient",  # shares the component-blocked tier
     # --- oldest (round-1) attestation refreshes ---
     "agg_hash_group",
     "agg_distinct",
@@ -560,8 +562,6 @@ _PRIORITY_KEYS_R8 = (
     "sort_multi",
     "udaf_grouped_agg",
     "udf_scalar_pandas",
-    "win_analytic",
-    "win_frame_running",
 )
 
 # Active attestation order for round 8.
