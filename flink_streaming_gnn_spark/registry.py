@@ -521,6 +521,7 @@ _PRIORITY_KEYS_R8 = (
     "graph_closeness_centrality",  # MS-BFS rewrite (×100 probe catch)
     "graph_triangle_count",  # component-blocked tier (×100 probe catch)
     "graph_clustering_coefficient",  # shares the component-blocked tier
+    "stream_session_e2e",  # complete-mode spool drain (×100 probe catch)
     # --- oldest (round-1) attestation refreshes ---
     "agg_hash_group",
     "agg_distinct",
@@ -561,7 +562,6 @@ _PRIORITY_KEYS_R8 = (
     "set_union_distinct",
     "sort_multi",
     "udaf_grouped_agg",
-    "udf_scalar_pandas",
 )
 
 # Active attestation order for round 8.

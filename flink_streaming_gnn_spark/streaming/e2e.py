@@ -118,12 +118,17 @@ def stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode: session merging happens in the state store across
     micro-batches (a session split across triggers must merge), and the
     final state equals the batch session_window result — the strongest
-    per-key stateful-merge attestation the oracle can check exactly."""
+    per-key stateful-merge attestation the oracle can check exactly.
+
+    The result is DATA-sized (one row per user-session), so the drain
+    goes through the complete-mode parquet spool, never the driver
+    memory sink (round 8 — the ×100 probe killed the memory-sink drain
+    at 10⁸ events; replay.run_complete_spooled docstring)."""
     from pyspark.sql import functions as F
 
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
-        run_to_completion,
+        run_complete_spooled,
     )
 
     stream = events_stream(spark, sf_dir, files_per_trigger=2)
@@ -140,7 +145,7 @@ def stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_completion(agg, "session_e2e")
+    return run_complete_spooled(agg, "session_e2e")
 
 
 def stream_gnn_sage_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

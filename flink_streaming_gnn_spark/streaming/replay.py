@@ -128,6 +128,39 @@ def run_update_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame
     return _run_mode(stream_df, query_name, "update")
 
 
+def run_complete_spooled(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Complete-mode drain whose RESULT is data-sized (e.g. per-user
+    session windows — rows grow with the corpus): ``foreachBatch``
+    OVERWRITES a parquet spool with each trigger's full re-emission, so
+    the last trigger leaves exactly the final state on disk and nothing
+    ever materializes in the driver. The memory sink this replaces
+    re-collects the ENTIRE complete-mode result into driver memory every
+    trigger — the ×100 probe killed stream_session_e2e that way
+    (TaskResultGetter blowup at ~10⁸ events). Per-trigger overwrite is
+    idempotent under replay, the same discipline as streaming/topk.py."""
+    spark = stream_df.sparkSession
+    import uuid
+
+    spool = os.path.join(
+        tempfile.gettempdir(), f"stream_cspool_{query_name}_{uuid.uuid4().hex[:8]}"
+    )
+    _cleanup_at_exit(spool)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(spool)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(spool)
+
+
 def run_update_spooled(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Update-mode drain for HIGH-VOLUME emission streams (e.g. the
     event-sized SCD2 history): ``foreachBatch`` appends each

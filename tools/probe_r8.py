@@ -12,6 +12,10 @@ Modes:
                  subprocess JVM (crash/OOM isolation: a key that dies
                  must not take the ledger with it), print per-key wall.
                  Default keys: the ×10 top-10 from VERDICT r7.
+  --x100-docs K… same, against the docs-tier merged dir (documents /
+                 embeddings also ×10 beyond the ×10 corpus's boosted 100
+                 copies → 5M docs / 2M vectors) for the dedup / text /
+                 simsearch / tokenizer families.
   --soak         run the 14 end-to-end streaming keys SEQUENTIALLY in
                  ONE JVM against the ×10 corpus (state-store
                  accumulation + atexit spool/checkpoint interplay + JVM
@@ -151,6 +155,76 @@ def build_x100() -> str:
     return merged
 
 
+# second build tier: documents/embeddings ×10 beyond the ×10 corpus's
+# already-boosted 100 copies (→ 5M docs / 2M vectors) for the dedup /
+# text / simsearch / tokenizer families; separate cache dir so the fact
+# corpus above is not invalidated
+_DOCS_TABLES = {"documents": ("doc_id",), "embeddings": ("vec_id",)}
+
+
+def build_x100_docs() -> str:
+    blown10 = _blown10()
+    facts_merged = build_x100()
+    digest = os.path.basename(blown10).rsplit("_", 1)[-1]
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"graft_r8x100docs_{digest}"
+    )
+    merged = out_dir + "_merged"
+    if os.path.isdir(out_dir) and os.path.isdir(merged):
+        return merged
+    from pyspark.sql import functions as F
+
+    from flink_streaming_gnn_spark.session import get_spark
+
+    spark = get_spark("probe_r8_build_docs")
+    if not os.path.isdir(out_dir):
+        staging = tempfile.mkdtemp(
+            prefix=f"graft_r8x100docs_{digest}_", dir=tempfile.gettempdir()
+        )
+        for t, cols in _DOCS_TABLES.items():
+            df = spark.read.parquet(os.path.join(blown10, f"{t}.parquet"))
+            copies = []
+            for i in range(10):
+                d = df
+                for c in cols:
+                    d = d.withColumn(
+                        c, (F.col(c) + F.lit(i * _KEY_SHIFT2)).cast("long")
+                    )
+                copies.append(d)
+            out = copies[0]
+            for p in copies[1:]:
+                out = out.unionByName(p)
+            out.repartition(64).write.mode("overwrite").parquet(
+                os.path.join(staging, f"{t}.parquet")
+            )
+        try:
+            os.rename(staging, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    if not os.path.isdir(merged):
+        staging = tempfile.mkdtemp(
+            prefix=f"graft_r8x100docs_{digest}_merged_",
+            dir=tempfile.gettempdir(),
+        )
+        for t in _ALL_TABLES:
+            src = os.path.join(
+                out_dir if t in _DOCS_TABLES else facts_merged,
+                f"{t}.parquet",
+            )
+            os.symlink(
+                os.path.realpath(src), os.path.join(staging, f"{t}.parquet")
+            )
+        try:
+            os.rename(staging, merged)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return merged
+
+
 _CHILD_BODY = r"""
 import sys, time
 repo, sf_dir, key = sys.argv[1], sys.argv[2], sys.argv[3]
@@ -164,8 +238,8 @@ print(f"{key}: {time.perf_counter() - t0:.1f}s", flush=True)
 """
 
 
-def run_x100(keys: list[str]) -> int:
-    merged = build_x100()
+def run_x100(keys: list[str], docs: bool = False) -> int:
+    merged = build_x100_docs() if docs else build_x100()
     print(f"x100 merged dir: {merged}", flush=True)
     failures = 0
     for key in keys:
@@ -230,6 +304,8 @@ def main() -> None:
         raise SystemExit(run_soak())
     elif args[:1] == ["--x100"]:
         raise SystemExit(run_x100(args[1:] or list(X100_KEYS)))
+    elif args[:1] == ["--x100-docs"]:
+        raise SystemExit(run_x100(args[1:], docs=True))
     else:
         raise SystemExit(__doc__)
 
