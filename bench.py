@@ -364,7 +364,33 @@ def main() -> None:
         except Exception as exc:
             payload["sf1x100"] = {"error": str(exc)[:500]}
 
-    print(json.dumps(payload))
+    # The driver parses a JSON line from a BOUNDED TAIL of stdout (~2000
+    # chars); the full payload (raw runs + ×10/×100 amortization blocks)
+    # blew past that every round, leaving BENCH_rN.json with parsed=null
+    # (VERDICT r8 "What's missing" #2). Contract: stdout carries ONLY the
+    # compact headline line (metric/value/unit/queries/sf ≈ 400 chars,
+    # parseable whether the driver reads head or tail); the full payload
+    # goes to a sidecar file referenced by the compact line.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_full_latest.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError:
+        full_path = None  # read-only checkout: compact line still stands alone
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": payload["queries"],
+        "sf": payload["sf"],
+    }
+    if full_path:
+        compact["full"] = full_path
+    line = json.dumps(compact)
+    assert len(line) < 1800, f"compact bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

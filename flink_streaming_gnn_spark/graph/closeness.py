@@ -203,12 +203,21 @@ ORACLE = {
             FROM bfs JOIN ue ON ue.a = bfs.v
             WHERE bfs.d < {MAX_HOPS}
         ),
-        dist AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v)
+        dist AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v),
+        -- per-hop integer counts first, harmonic from the SAME (hop, n)
+        -- summary the Spark driver folds (n·(1/d) terms summed in
+        -- hop-ascending order): identical doubles added in identical
+        -- order are bit-identical, so the 6-dp round can never straddle
+        -- a boundary between engines (ADVICE r8 — the per-vertex
+        -- 1/d-in-scan-order sum drifted ~1e-8 per 1e6 reached)
+        hc AS (
+            SELECT s, d, count(*) AS n FROM dist WHERE d > 0 GROUP BY s, d
+        )
         SELECT CAST(s AS BIGINT) AS s,
-               CAST(count(*) AS BIGINT) AS n_reached,
-               CAST(sum(d) AS BIGINT) AS sum_dist,
-               round(count(*) * 1.0 / sum(d), 6) AS closeness,
-               round(sum(1.0 / d), 6) AS harmonic
-        FROM dist WHERE d > 0 GROUP BY s
+               CAST(sum(n) AS BIGINT) AS n_reached,
+               CAST(sum(d * n) AS BIGINT) AS sum_dist,
+               round(sum(n) * 1.0 / sum(d * n), 6) AS closeness,
+               round(sum(n * 1.0 / d ORDER BY d), 6) AS harmonic
+        FROM hc GROUP BY s
     """,
 }

@@ -11,25 +11,79 @@ each lineitem row is one edge event with a weight and an event time.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_streaming_gnn_spark.sources.tables import load_table
+from flink_streaming_gnn_spark.sources.tables import load_table, table_path
 
 # vertex-id space used for tensor fixtures: embeddings keyed by pmod(id, 500)
 EMB_MOD = 500
+
+EDGE_BUCKETS = 8  # matches operators/bucketing.py N_BUCKETS
+
+
+def _bucketed_edge_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """One-time bucketed layout of the edge-derivation join inputs
+    (lineitem WITH l_shipdate, orders), bucketed + sorted on orderkey —
+    the ingest-time layout a 100 TB deployment would persist so the
+    recurring lineitem ⋈ orders edge join runs with NO exchange on
+    either side (operators/bucketing.py proves the plan shape; this
+    wires it under every graph key). Digest-keyed per fixture
+    generation, same catalog discipline as sink_bucketed_join."""
+    sig = ":".join(
+        f"{t}:{os.stat(table_path(sf_dir, t)).st_mtime_ns}"
+        for t in ("lineitem", "orders")
+    )
+    digest = hashlib.md5(f"v1:{sf_dir}:{sig}".encode()).hexdigest()[:12]
+    db = f"graft_bedges_{digest}"
+    wh = os.path.join(tempfile.gettempdir(), f"graft_bedges_wh_{digest}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
+    catalog = spark.catalog
+    if not catalog.tableExists(f"{db}.lineitem_e"):
+        shutil.rmtree(os.path.join(wh, "lineitem_e"), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate")
+            .write.mode("overwrite")
+            .bucketBy(EDGE_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(f"{db}.lineitem_e")
+        )
+    if not catalog.tableExists(f"{db}.orders_e"):
+        shutil.rmtree(os.path.join(wh, "orders_e"), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey")
+            .write.mode("overwrite")
+            .bucketBy(EDGE_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(f"{db}.orders_e")
+        )
+    return spark.table(f"{db}.lineitem_e"), spark.table(f"{db}.orders_e")
 
 
 def derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite customer→supplier multigraph (one edge per lineitem).
 
-    One shuffle (lineitem ⋈ orders on orderkey); at cluster scale both
-    sides would be bucketed on orderkey to make this co-located.
-    """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    Default path: one shuffle (lineitem ⋈ orders on orderkey). Opt-in
+    ``SPARK_GRAFT_BUCKETED_EDGES=1`` (VERDICT r8 "Next round" #8) reads
+    both sides from a bucketed-on-orderkey layout instead, so the join
+    is co-located and the exchange disappears from EVERY graph key's
+    plan — the ingest-time layout a cluster deployment would persist.
+    Results are identical either way (same join, same rows; pinned in
+    tests/test_bucketing.py)."""
+    if os.environ.get("SPARK_GRAFT_BUCKETED_EDGES") == "1":
+        li, o = _bucketed_edge_tables(spark, sf_dir)
+    else:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate"
+        )
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").alias("src"),
         F.col("l_suppkey").alias("dst"),

@@ -38,11 +38,12 @@ exercised by the ``LOCAL_TAIL_EDGES = 0`` parity test in
 tests/test_round5.py, which pins distributed ≡ local on the same
 fixture.
 
-Registry key is rows-only (MSF is not SQL-expressible — per-round
-min-edge contraction needs recursion DuckDB's WITH RECURSIVE cannot
-aggregate over); exact parity of the summary (and the full forest weight)
-against a from-scratch union-find Kruskal under the same (w, a, b) order
-is pinned in tests/test_round3.py.
+Registry key is EXACT-ORACLE since round 9 (was rows-only): the general
+recursion is beyond WITH RECURSIVE, but the MSF's uniqueness under the
+strict (w, a, b) total order lets the oracle run a verify-scale unrolled
+uncontracted Borůvka (``_mst_oracle_sql``); exact parity of the summary
+(and the full forest weight) against a from-scratch union-find Kruskal
+under the same (w, a, b) order stays pinned in tests/test_round3.py.
 """
 
 from __future__ import annotations
@@ -293,10 +294,110 @@ def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry key: MSF summary row (vertex/component/edge counts, total
-    and bottleneck forest weight). Rows-only; Kruskal parity + the
-    n_mst_edges == n_vertices − n_components invariant pinned in tests."""
+    and bottleneck forest weight). EXACT-ORACLE since round 9 (VERDICT r8
+    "Next round" #6, was rows-only): the MSF is UNIQUE under the strict
+    (w, a, b) total order, so any correct MSF algorithm yields the
+    identical edge set — the oracle runs a mechanically-unrolled
+    UNCONTRACTED Borůvka (per-round min crossing edge per component +
+    pointer-jumped hash-min CC over the accumulated forest, the
+    pagerank/LPA unroll trick) sized for the verify scale. Kruskal parity
+    + the n_mst_edges == n_vertices − n_components invariant stay pinned
+    in tests."""
     return mst_forest_summary(spark, sf_dir)
 
 
+# Verify-scale unroll budget (oracles only ever run at sf0.01: ~1.6k
+# vertices). Components at least halve per Borůvka round → 12 rounds
+# cover 2^12 vertices; 13 pointer-jump iterations cover label chains of
+# 2^13. Both are idempotent beyond convergence (no crossing edges → no
+# chosen edges → forest and labels are fixed points), the ktruss
+# ORACLE_ROUNDS discipline.
+ORACLE_BORUVKA_ROUNDS = 12
+ORACLE_CC_ITERS = 13
+
+
+def _mst_oracle_sql(
+    rounds: int = ORACLE_BORUVKA_ROUNDS, cc_iters: int = ORACLE_CC_ITERS
+) -> str:
+    """DuckDB twin of the unique-(w,a,b)-MSF summary. Uncontracted
+    Borůvka: each round relabels the ORIGINAL collapsed edge list by the
+    current component labels (CC of the accumulated forest, recomputed
+    from scratch — the forest is ≤|V| edges, so the per-round CC block is
+    vertex-bounded, never edge-bounded), picks each component's minimal
+    crossing edge, and accumulates. Every CTE is MATERIALIZED (each round
+    references its predecessor multiple times — pagerank.py discipline)."""
+    blocks = [
+        """e0 AS MATERIALIZED (
+            SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+                   min(l_extendedprice) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        verts AS MATERIALIZED (
+            SELECT a AS v FROM e0 UNION SELECT b AS v FROM e0
+        ),
+        f_0 AS MATERIALIZED (
+            SELECT CAST(NULL AS BIGINT) AS fa, CAST(NULL AS BIGINT) AS fb,
+                   CAST(NULL AS DOUBLE) AS fw
+            WHERE false
+        ),
+        l_0_f AS MATERIALIZED (SELECT v, v AS lbl FROM verts)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        blocks.append(f"""cand_{r} AS MATERIALIZED (
+            SELECT lu.lbl AS cu, lv.lbl AS cv, e.w, e.a, e.b
+            FROM e0 e
+            JOIN l_{p}_f lu ON e.a = lu.v
+            JOIN l_{p}_f lv ON e.b = lv.v
+            WHERE lu.lbl <> lv.lbl
+        ),
+        chosen_{r} AS MATERIALIZED (
+            SELECT DISTINCT w, a, b FROM (
+                SELECT w, a, b, row_number() OVER (
+                    PARTITION BY comp ORDER BY w, a, b
+                ) AS rn
+                FROM (
+                    SELECT cu AS comp, w, a, b FROM cand_{r}
+                    UNION ALL
+                    SELECT cv AS comp, w, a, b FROM cand_{r}
+                )
+            ) WHERE rn = 1
+        ),
+        f_{r} AS MATERIALIZED (
+            SELECT DISTINCT fa, fb, fw FROM (
+                SELECT fa, fb, fw FROM f_{p}
+                UNION ALL
+                SELECT a, b, w FROM chosen_{r}
+            )
+        ),
+        l_{r}_0 AS (SELECT v, v AS lbl FROM verts)""")
+        for k in range(1, cc_iters + 1):
+            blocks.append(f"""l_{r}_{k} AS MATERIALIZED (
+            SELECT g.s AS v, min(l2.lbl) AS lbl FROM (
+                SELECT fa AS s, fb AS t FROM f_{r}
+                UNION ALL SELECT fb AS s, fa AS t FROM f_{r}
+                UNION ALL SELECT v AS s, v AS t FROM verts
+                UNION ALL SELECT v AS s, lbl AS t FROM l_{r}_{k - 1}
+            ) g JOIN l_{r}_{k - 1} l2 ON g.t = l2.v
+            GROUP BY g.s
+        )""")
+        blocks.append(f"l_{r}_f AS MATERIALIZED (SELECT * FROM l_{r}_{cc_iters})")
+    ctes = ",\n        ".join(blocks)
+    return f"""
+        WITH {ctes}
+        SELECT CAST((SELECT count(*) FROM verts) AS BIGINT) AS n_vertices,
+               CAST((SELECT count(*) FROM verts)
+                    - (SELECT count(*) FROM f_{rounds}) AS BIGINT)
+                   AS n_components,
+               CAST((SELECT count(*) FROM f_{rounds}) AS BIGINT)
+                   AS n_mst_edges,
+               round((SELECT coalesce(sum(fw), 0.0) FROM f_{rounds}), 2)
+                   AS total_weight,
+               round((SELECT coalesce(max(fw), 0.0) FROM f_{rounds}), 2)
+                   AS bottleneck_weight
+    """
+
+
 QUERIES = {"graph_mst_boruvka": graph_mst_boruvka}
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {"graph_mst_boruvka": _mst_oracle_sql()}

@@ -559,6 +559,16 @@ def dedup_embedding_cosine_planted(spark: SparkSession, sf_dir: str) -> DataFram
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
+    # Fail fast if real ids would collide with the planted id spaces
+    # (ADVICE r8: at a scale where vec_ids reach PLANT_CLONE_OFFSET the
+    # hash would stay green while the planted-pair semantics silently
+    # degrade). O(1) driver read of a 1-row aggregate.
+    max_id = e.agg(F.max("vec_id").alias("m")).first()["m"] or 0
+    if max_id >= PLANT_CLONE_OFFSET:
+        raise ValueError(
+            f"max vec_id {max_id} >= PLANT_CLONE_OFFSET {PLANT_CLONE_OFFSET}: "
+            "raise the plant offsets before running at this scale"
+        )
     seeds = e.filter(F.col("vec_id") % PLANT_SEED_MOD == 0)
     clones = seeds.select(
         (F.col("vec_id") + PLANT_CLONE_OFFSET).alias("vec_id"),

@@ -121,6 +121,25 @@ WHITEN_DIMS = 4  # leading whitened coordinates exposed as columns
 WHITEN_EPS = 1e-6  # eigenvalue floor (regularized inverse sqrt)
 
 
+def _pinned_whitening(mu_raw, cov_raw):
+    """6-dp-pinned ZCA transform: round the raw mean/covariance to 6 dp
+    (the cross-engine agreement point — the attested
+    ``emb_pca_covariance`` key proves Spark's and DuckDB's moment passes
+    agree at exactly this grid), then eigh the PINNED float64 matrix.
+    Query and oracle both call this on their own engine's moments, so
+    they eigh bitwise-identical input and numpy returns bitwise-identical
+    W rows/offsets — which is what upgrades ``emb_whitening`` from
+    rows-only to an exact hash-match oracle (VERDICT r8 "Next round" #6,
+    the same literal-pinning trick that exactified IVF's centroids)."""
+    import numpy as np
+
+    cov6 = np.round(cov_raw, 6) + 0.0  # +0.0 normalizes IEEE -0.0
+    mu6 = np.round(mu_raw, 6) + 0.0
+    lam, u = np.linalg.eigh(cov6)
+    w_mat = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, WHITEN_EPS))) @ u.T
+    return w_mat[:WHITEN_DIMS], w_mat[:WHITEN_DIMS] @ mu6
+
+
 def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA whitening of the embedding corpus: y = W·(x − μ) with
     W = U·Λ^{−1/2}·Uᵀ from the eigendecomposition of the covariance —
@@ -138,9 +157,12 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     products) — map-only, no Python on the data path, no shuffle after
     the moment pass.
 
-    Rows-only registry key (the eigensolve is not SQL-expressible);
-    whitened-covariance ≈ I and parity vs a direct numpy whitening are
-    pinned in tests/test_round3b.py.
+    EXACT-ORACLE key since round 9 (was rows-only): the eigensolve input
+    is pinned to the 6-dp moment grid (``_pinned_whitening``), so the
+    oracle — which derives the identical W/b literals from its own
+    DuckDB/numpy moment pass over the verify fixture — computes the same
+    doubles; whitened-covariance ≈ I and parity vs a direct numpy
+    whitening remain pinned in tests/test_round3b.py.
     """
     import numpy as np
 
@@ -164,18 +186,60 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = r["sp"] / n - mu[r["i"]] * mu[r["j"]]
         cov[r["i"], r["j"]] = c
         cov[r["j"], r["i"]] = c
-    lam, u = np.linalg.eigh(cov)
-    w_mat = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, WHITEN_EPS))) @ u.T
+    w_rows, offsets = _pinned_whitening(mu, cov)
     cols = []
     for k in range(WHITEN_DIMS):
-        wk = F.lit([float(v) for v in w_mat[k]])
+        wk = F.lit([float(v) for v in w_rows[k]])
         dot = F.aggregate(
             F.zip_with("e", wk, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols.append((dot - F.lit(float(w_mat[k] @ mu))).alias(f"y{k + 1}"))
+        cols.append(
+            (F.round(dot - F.lit(float(offsets[k])), 6) + F.lit(0.0)).alias(
+                f"y{k + 1}"
+            )
+        )
     return d.select("vec_id", *cols)
+
+
+def _whitening_oracle_sql() -> str:
+    """Exact DuckDB twin of ``emb_whitening``: derive the SAME pinned
+    W/b literals from the verify fixture (the driver's oracle runs at
+    $SPARK_GRAFT_TEST_SF_DIR, default sf0.01 — operators/metadata.py
+    precedent) via a numpy moment pass, and embed them as repr literals
+    (exact float64 round-trip; the proven _ivf_oracle_sql pattern). Both
+    engines then compute round(Σ e·w − b, 6) over identical literals —
+    list_dot_product and F.aggregate are both sequential left folds over
+    the same 64 doubles, bitwise identical (the recipe every attested
+    simsearch key relies on)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    x = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    n = float(len(x))
+    mu = x.sum(axis=0) / n
+    cov = (x.T @ x) / n - np.outer(mu, mu)
+    w_rows, offsets = _pinned_whitening(mu, cov)
+    cols = []
+    for k in range(WHITEN_DIMS):
+        arr = "[" + ", ".join(repr(float(v)) for v in w_rows[k]) + "]"
+        cols.append(
+            f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {arr})"
+            f" - {float(offsets[k])!r}, 6) + 0.0 AS y{k + 1}"
+        )
+    cols_sql = ",\n               ".join(cols)
+    return f"""
+        SELECT vec_id,
+               {cols_sql}
+        FROM embeddings
+    """
 
 
 QUERIES = {
@@ -245,3 +309,11 @@ ORACLE = {
         FROM d
     """,
 }
+
+# Exact whitening oracle needs the verify fixture on disk to derive the
+# pinned W/b literals; if it's absent (foreign environment) the key
+# degrades gracefully to its pre-round-9 rows-only check.
+try:
+    ORACLE["emb_whitening"] = _whitening_oracle_sql()
+except OSError:
+    pass

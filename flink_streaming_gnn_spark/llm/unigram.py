@@ -146,6 +146,15 @@ def _em_round(wf: DataFrame, vocab: dict[str, float]) -> list[tuple[str, float]]
     )  # ≤ |vocab| rows — bounded driver read
     rows.sort(key=lambda r: r["piece"])  # deterministic total-sum order
     total = sum(r["ec"] for r in rows)
+    # KNOWN FLAKE MODE (ADVICE r8, accepted as part of this key's
+    # contract): the hash-exactness relies on PROB_DP rounding absorbing
+    # the unordered-sum drift between Spark's partition-order F.sum and
+    # DuckDB's GROUP BY sum (~1e-12 relative). An ec/total quotient
+    # landing within that drift of a 0.5·10^-PROB_DP boundary would break
+    # the match nondeterministically; measured drift is ~6 orders below
+    # the boundary half-width, and no flake has occurred across the
+    # r7–r9 differential runs. If one ever does, coarsen the grid
+    # (PROB_DP-1) rather than chase the sum order.
     out_rows = []
     for r in rows:
         pr = round(r["ec"] / total, PROB_DP)

@@ -564,8 +564,72 @@ _PRIORITY_KEYS_R8 = (
     "udaf_grouped_agg",
 )
 
-# Active attestation order for round 8.
-_PRIORITY_KEYS = _PRIORITY_KEYS_R8
+# Round-9 window (VERDICT r8 #1 + ADVICE r8 #1): the four e2e keys
+# re-drained through the parquet spools this round, the two rows-only
+# keys upgraded to exact oracles, then EVERY stateful/streaming key whose
+# green ledger row predates the round-8 RocksDB state-store default (the
+# r8 window only re-attested scd2/session — ADVICE flagged that the rest
+# still carry HDFSBacked-era rows), then the stalest r1/r2 attestations
+# as freshness rotation.
+_PRIORITY_KEYS_R9 = (
+    # --- changed this round: memory-sink → parquet-spool drains ---
+    "stream_gnn_sage_e2e",
+    "stream_decayed_memory_e2e",
+    "stream_cep_funnel_e2e",
+    "stream_sliding_e2e",
+    # --- rows-only → exact-oracle upgrades this round ---
+    "emb_whitening",
+    "graph_mst_boruvka",
+    # --- streaming keys re-attested on the RocksDB substrate ---
+    "stream_windowed_topk",
+    "stream_cdc_snapshot",
+    "stream_cc_e2e",
+    "stream_outer_join_e2e",
+    "stream_stream_interval_join",
+    "stream_dedup_e2e",
+    "stream_dedup_ttl_e2e",
+    "stream_tumbling_append_e2e",
+    "stream_static_join",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "sessionize_approx",
+    "tumbling_window_events",
+    # --- freshness rotation: oldest (r1/r2) attestations ---
+    "win_analytic",
+    "win_frame_running",
+    "win_ranking",
+    "window_topk_per_group",
+    "udf_scalar_pandas",
+    "sink_parquet",
+    "graph_partition_assign",
+    "graph_degree",
+    "graph_1hop_agg",
+    "graph_2hop_agg",
+    "graph_degree_distribution",
+    "graph_sage_layer",
+    "graph_sage_2layer",
+    "graph_sage_windowed",
+    "graphop_materialize",
+    "graphop_op_counts",
+    "train_test_split",
+    "text_stats",
+    "text_tfidf",
+    "text_token_count",
+    "text_tokenize_tf",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_keyword_extract",
+    "text_ngram_lm_score",
+    "multimodal_cols",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+)
+
+# Active attestation order for round 9.
+_PRIORITY_KEYS = _PRIORITY_KEYS_R9
 
 
 def _reorder(d: dict, priority: tuple[str, ...]) -> dict:

@@ -182,15 +182,20 @@ def funnel_state_machine(stream_df: DataFrame, window_us: int) -> DataFrame:
 
 
 def stream_cep_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained through the update-mode parquet spool, not the driver
+    memory sink — the state machine emits per key per micro-batch
+    (~|keys|·|triggers| rows, linear in the corpus; 440 s at ×100 under
+    the memory sink), and the monotone last-emission-wins readout below
+    is a distributed window over the spool (VERDICT r8 #3)."""
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
-        run_update_to_completion,
+        run_update_spooled,
     )
 
     stream = events_stream(spark, sf_dir, files_per_trigger=2).select(
         "user_id", "ts", "event_type"
     )
-    out = run_update_to_completion(
+    out = run_update_spooled(
         funnel_state_machine(stream, WINDOW_US), "cep_funnel_e2e"
     )
     # final emission per key = the one that saw the most events (monotone)

@@ -101,7 +101,13 @@ def events_stream(
 def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into a memory
     sink, block until drained, return the materialized result as a batch DF.
-    Output mode 'complete' (windowed aggregations)."""
+    Output mode 'complete' (windowed aggregations).
+
+    TEST-ONLY since round 9: the memory sink re-collects the full
+    complete-mode result into the driver every trigger — fatal at ×100
+    for data-sized results. Every production ``queries()`` key drains via
+    ``run_complete_spooled``; this stays for fixture-scale pytest twins
+    where a driver collect is the point of the assertion."""
     spark = stream_df.sparkSession
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -124,7 +130,10 @@ def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame
 def run_update_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Same, for update-mode streams (stateful operators emitting per-key
     updates each micro-batch). The memory sink keeps every emitted row, so
-    a key's *last* row is its final state."""
+    a key's *last* row is its final state.
+
+    TEST-ONLY since round 9: retains ~|keys|·|triggers| rows in driver
+    memory. Production keys drain via ``run_update_spooled``."""
     return _run_mode(stream_df, query_name, "update")
 
 
@@ -158,7 +167,7 @@ def run_complete_spooled(stream_df: DataFrame, query_name: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(spool)
+    return _read_spool(spark, spool, stream_df.schema)
 
 
 def run_update_spooled(stream_df: DataFrame, query_name: str) -> DataFrame:
@@ -222,7 +231,17 @@ def _run_update_spooled(
         )
         q.awaitTermination()
     if keep_state:
-        return spark.read.parquet(spool), kept
+        return _read_spool(spark, spool, stream_df.schema), kept
+    return _read_spool(spark, spool, stream_df.schema)
+
+
+def _read_spool(spark: SparkSession, spool: str, schema: T.StructType) -> DataFrame:
+    """Read a drained parquet spool back; a stream whose availableNow
+    drain fired ZERO batches (empty source) never wrote the spool, so
+    return an empty frame with the stream's schema instead of letting
+    spark.read.parquet raise path-not-found (ADVICE r8)."""
+    if not os.path.isdir(spool):
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(spool)
 
 

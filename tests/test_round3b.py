@@ -587,9 +587,14 @@ def test_ktruss_matches_python_peel(spark):
 
 
 def test_whitening_matches_numpy_and_decorrelates(spark):
+    """Since round 9 the operator whitens with the 6-dp-PINNED transform
+    (``_pinned_whitening`` — the exact-oracle contract), so the numpy
+    twin here applies the same pin; the decorrelation property holds to
+    the pin's perturbation (~1e-3), and the mean is offset by
+    W·(μ − μ₆) ~ 3e-5 rather than exactly zero."""
     from flink_streaming_gnn_spark.llm.embprep import (
         WHITEN_DIMS,
-        WHITEN_EPS,
+        _pinned_whitening,
         emb_whitening,
     )
 
@@ -602,19 +607,20 @@ def test_whitening_matches_numpy_and_decorrelates(spark):
     raw = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
     ids = [r["vec_id"] for r in raw]
     X = np.array([r["embedding"] for r in raw], dtype=np.float64)
-    mu = X.mean(axis=0)
+    mu = X.sum(axis=0) / len(X)
     cov = (X.T @ X) / len(X) - np.outer(mu, mu)
-    lam, u = np.linalg.eigh(cov)
-    w_mat = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, WHITEN_EPS))) @ u.T
-    Y = (X - mu) @ w_mat.T
+    w_rows, offsets = _pinned_whitening(mu, cov)
+    Y = X @ w_rows.T - offsets
 
+    # operator output is rounded to 6 dp → half-width 0.5e-6 plus the
+    # engine-vs-numpy moment drift (≪ 1e-9)
     for i, vid in enumerate(ids):
         for k in range(WHITEN_DIMS):
             assert abs(got[vid][k] - Y[i, k]) < 1e-6
 
     # whitening property: the output coordinates are decorrelated with
-    # unit variance (identity covariance sub-block) and zero mean
+    # unit variance (identity covariance sub-block) and near-zero mean
     Yg = np.array([got[v] for v in ids])
     c = np.cov(Yg, rowvar=False, bias=True)
     assert np.allclose(c, np.eye(WHITEN_DIMS), atol=1e-2)
-    assert np.allclose(Yg.mean(axis=0), 0.0, atol=1e-8)
+    assert np.allclose(Yg.mean(axis=0), 0.0, atol=1e-4)
