@@ -24,7 +24,13 @@ from flink_streaming_gnn_spark.sources.tables import load_table, table_path
 # vertex-id space used for tensor fixtures: embeddings keyed by pmod(id, 500)
 EMB_MOD = 500
 
-EDGE_BUCKETS = 8  # matches operators/bucketing.py N_BUCKETS
+# Bucket count must MATCH the target scan parallelism: a bucketed read
+# caps the scan+join stage at one task per bucket, so 8 buckets on a
+# 32-core box THROTTLES the stage 4× — the first ×10 A/B (round 9,
+# tools/ab_r9_bucketed_edges.log rounds 1–2) measured the 8-bucket
+# layout LOSING to the plain join for exactly this reason. Tunable so a
+# cluster deployment sizes it to executor-core count.
+EDGE_BUCKETS = int(os.environ.get("SPARK_GRAFT_EDGE_BUCKETS", "32"))
 
 
 def _bucketed_edge_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -39,7 +45,9 @@ def _bucketed_edge_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, 
         f"{t}:{os.stat(table_path(sf_dir, t)).st_mtime_ns}"
         for t in ("lineitem", "orders")
     )
-    digest = hashlib.md5(f"v1:{sf_dir}:{sig}".encode()).hexdigest()[:12]
+    digest = hashlib.md5(
+        f"v2:b{EDGE_BUCKETS}:{sf_dir}:{sig}".encode()
+    ).hexdigest()[:12]
     db = f"graft_bedges_{digest}"
     wh = os.path.join(tempfile.gettempdir(), f"graft_bedges_wh_{digest}")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")

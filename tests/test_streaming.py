@@ -234,3 +234,29 @@ def test_windowed_topk_foreachbatch_equals_batch(spark):
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["win_start", "user_id", "n_events", "rank"]],
                                   want[["win_start", "user_id", "n_events", "rank"]])
+
+
+def test_spooled_drain_zero_batches_returns_empty(spark, tmp_path):
+    """ADVICE r8: a stream whose availableNow drain fires ZERO batches
+    never writes the parquet spool; the spooled drains must return an
+    empty frame with the stream schema instead of raising
+    path-not-found."""
+    from flink_streaming_gnn_spark.streaming.replay import (
+        run_complete_spooled,
+        run_update_spooled,
+    )
+
+    empty_dir = tmp_path / "no_files"
+    empty_dir.mkdir()
+    stream = spark.readStream.schema("k long, v double").parquet(str(empty_dir))
+
+    agg = stream.groupBy("k").agg(F.sum("v").alias("sv"))
+    out_c = run_complete_spooled(agg, "zero_batch_complete")
+    assert out_c.count() == 0
+    assert set(out_c.columns) == {"k", "sv"}
+
+    out_u = run_update_spooled(
+        stream.groupBy("k").agg(F.count("*").alias("n")), "zero_batch_update"
+    )
+    assert out_u.count() == 0
+    assert set(out_u.columns) == {"k", "n"}
