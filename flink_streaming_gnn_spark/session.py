@@ -74,6 +74,32 @@ def get_spark(
             else "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # Round-9 join-strategy knob (guide §3.1): SPARK_GRAFT_PREFER_SHJ=1
+        # lets the planner (and AQE's runtime rewrite) pick shuffled-hash
+        # over sort-merge when a per-partition build side fits. A/B'd at
+        # ×10 (tools/ab_r9_prefer_shj.log): no separation — at bench
+        # scales every probed join is already a broadcast join, so the
+        # preference never engages. Default stays Spark's; the knob is a
+        # cluster-tuning parameter, to be decided with cluster numbers.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "false" if os.environ.get("SPARK_GRAFT_PREFER_SHJ") == "1" else "true",
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64MB" if os.environ.get("SPARK_GRAFT_PREFER_SHJ") == "1" else "0",
+        )
+        # Shuffle codec knob (guide §2.3): zstd trades CPU for ratio — a
+        # likely win on a NIC/disk-bound cluster, pure CPU overhead on a
+        # page-cache local shuffle. Three round-9 A/Bs (tools/ab_r9_zstd*
+        # .log) found NO codec signal at ×10: the apparent zstd win
+        # reversed exactly under an order-reversal control (arm-order bias
+        # from transient host noise). lz4 default stays; re-measure on the
+        # target cluster before flipping.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # ANSI mode off: engine follows classic Spark SQL null-on-error
