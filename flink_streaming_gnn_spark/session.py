@@ -100,6 +100,22 @@ def get_spark(
             "spark.io.compression.codec",
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
+        # Single-JVM large-state robustness (round-9 ×100 soak catch): at
+        # 10⁸-row streaming state a >10 s full-GC (24g heap) or transient
+        # host stall blows the IN-PROCESS executor heartbeat
+        # (spark.executor.heartbeatInterval default 10s → RpcTimeout →
+        # executor declared dead → SparkContext shuts down mid-stream;
+        # tools/probe_r9_soak_x100.log, first attempt). 30s/600s are the
+        # standard large-heap settings; timeouts change no plan and are
+        # inert at bench scale.
+        .config(
+            "spark.executor.heartbeatInterval",
+            os.environ.get("SPARK_GRAFT_HEARTBEAT_INTERVAL", "30s"),
+        )
+        .config(
+            "spark.network.timeout",
+            os.environ.get("SPARK_GRAFT_NETWORK_TIMEOUT", "600s"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # ANSI mode off: engine follows classic Spark SQL null-on-error
