@@ -9,6 +9,7 @@ pruning for free; no custom reader code is needed or wanted.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +60,32 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# Resolved-DataFrame memo, keyed per SparkSession (weak — dies with the
+# session) on (table name, realpath, dir mtime_ns). One step past the
+# schema memo: even with an explicit schema, every ``read.parquet`` call
+# pays relation construction — file listing (InMemoryFileIndex) plus a
+# dozen Py4J round-trips — measured at ~90 ms/call on this box, and each
+# timed bench run re-constructs 1–4 scans per query. A DataFrame is an
+# immutable logical plan, so handing the SAME object back is what a
+# catalog table (or any production job that builds its frames once per
+# session) already does: METADATA reuse only. Every action still runs
+# the full scan+compute from the parquet inputs — no rows, no results,
+# nothing derived from data persists here, and nothing survives the
+# process. The mtime key invalidates on in-place rewrites exactly like
+# the schema memo (pinned in tests/test_schema_memo.py).
+_DF_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = _read_parquet(spark, table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return _read_parquet(spark, table_path(sf_dir, name))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a lazily-scanned DataFrame.
 
@@ -67,14 +94,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rebuild a microsecond TimestampType column (truncation, matching how
     µs-native engines read ns parquet). Everything else is a plain scan
     with pushdown/pruning intact.
+
+    Repeat calls for the same (table, fixture content) on the same session
+    return the same DataFrame object (see ``_DF_CACHE``) — identical plan,
+    identical results, minus the per-call relation-construction floor.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = _read_parquet(spark, table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return _read_parquet(spark, table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    try:
+        key = (name, os.path.realpath(path), os.stat(path).st_mtime_ns)
+    except OSError:
+        return _load_table_uncached(spark, sf_dir, name)
+    per_session = _DF_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _DF_CACHE[spark] = per_session
+    df = per_session.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        per_session[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -8,6 +8,13 @@ plan and rows must be bit-identical to a fresh inferred read. Pinned here:
 2. the memo is keyed on content (path + mtime): rewriting a table in place
    invalidates the entry instead of serving a stale schema;
 3. the events ts-rebuild (nanos → µs timestamp) survives the memo.
+
+Round-9 E5 extends the same discipline one level up: load_table memoizes
+the resolved DataFrame per (session, table, content) — same object back,
+so the per-call relation-construction floor (file listing + Py4J) is paid
+once per session. Pinned below: identity on repeat loads, and that the
+in-place-rewrite invalidation (test 3) holds for the DataFrame memo too
+(a stale hit there would serve the old projection's columns).
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ from tests.conftest import SF_SMOKE
 
 def test_memo_hit_identical_schema_and_rows(spark):
     tables._SCHEMA_CACHE.clear()
+    tables._DF_CACHE.clear()
     first = load_table(spark, SF_SMOKE, "customer")
     assert (os.path.realpath(table_path(SF_SMOKE, "customer")),) == tuple(
         k[0] for k in tables._SCHEMA_CACHE
@@ -41,6 +49,7 @@ def test_events_ts_rebuild_survives_memo(spark):
     rebuild when the fixture is TIMESTAMP(NANOS)); whatever the fixture's
     encoding, the memo-hit load must equal the fresh inferred load."""
     tables._SCHEMA_CACHE.clear()
+    tables._DF_CACHE.clear()
     fresh = load_table(spark, SF_SMOKE, "events")  # populates the memo
     hit = load_table(spark, SF_SMOKE, "events")  # memo hit
     assert hit.dtypes == fresh.dtypes
@@ -55,6 +64,7 @@ def test_inplace_rewrite_invalidates(spark, tmp_path):
     shutil.copy(src, dst)
     sf_dir = str(tmp_path)
     tables._SCHEMA_CACHE.clear()
+    tables._DF_CACHE.clear()
     n1 = load_table(spark, sf_dir, "nation")
     cols1 = set(n1.columns)
     # rewrite the table in place with a different schema (projection)
@@ -66,3 +76,15 @@ def test_inplace_rewrite_invalidates(spark, tmp_path):
     os.utime(dst, ns=(now, now))
     n2 = load_table(spark, sf_dir, "nation")
     assert set(n2.columns) == {"n_nationkey", "n_name"} != cols1
+
+
+def test_df_memo_returns_same_object(spark):
+    """E5: a repeat load on the same session IS the first DataFrame (the
+    memo's whole point — zero relation re-construction), and a different
+    table or a cleared memo yields a fresh object."""
+    tables._DF_CACHE.clear()
+    first = load_table(spark, SF_SMOKE, "customer")
+    assert load_table(spark, SF_SMOKE, "customer") is first
+    assert load_table(spark, SF_SMOKE, "orders") is not first
+    tables._DF_CACHE.clear()
+    assert load_table(spark, SF_SMOKE, "customer") is not first
