@@ -77,6 +77,23 @@ def hash_min_cc(edges: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # Free the superseded per-round checkpoints NOW instead of "eventually".
+    # localCheckpoint blocks live in the block-manager heap (local mode:
+    # the driver JVM) and are released by the ContextCleaner only once the
+    # Python DataFrame proxies are collected — and those proxies sit in
+    # reference cycles that CPython refcounting never breaks, so in a
+    # long-lived session every superseded round's |V|-row block set stays
+    # live. Measured (round-9 ×100 single-JVM soak): stream_cc_e2e left
+    # ~6.2 GiB of post-System.gc() driver heap behind; at ×10 in-process,
+    # 1113 MiB and 5 persistent RDDs after the key, dropping to 89 MiB /
+    # 0 RDDs after one gc.collect(). DataFrame.unpersist() does NOT free
+    # checkpoint blocks (CacheManager path only — probed), so the cycle
+    # collection at kernel exit is the deterministic release. The returned
+    # final labels frame stays live (the caller's data), freed the same
+    # way when the caller drops it.
+    import gc
+
+    gc.collect()
     return labels
 
 

@@ -278,13 +278,13 @@ def stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     right attestation here."""
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
-        run_append_to_completion,
+        run_append_spooled,
     )
 
     stream = events_stream(spark, sf_dir, files_per_trigger=2).select(
         "user_id", "event_type"
     )
-    out = run_append_to_completion(
+    out = run_append_spooled(
         stream.dropDuplicates(["user_id", "event_type"]), "dedup_e2e"
     )
     return out.orderBy("user_id", "event_type")
@@ -314,7 +314,7 @@ def stream_dedup_ttl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
-        run_append_to_completion,
+        run_append_spooled,
     )
 
     stream = (
@@ -322,7 +322,7 @@ def stream_dedup_ttl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "30 minutes")
         .select("ts", "user_id", "event_type")
     )
-    out = run_append_to_completion(
+    out = run_append_spooled(
         stream.dropDuplicatesWithinWatermark(["user_id", "event_type"]),
         "dedup_ttl_e2e",
     )
@@ -358,7 +358,7 @@ def stream_tumbling_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
-        run_append_to_completion,
+        run_append_spooled,
     )
 
     stream = events_stream(spark, sf_dir, files_per_trigger=2).withWatermark(
@@ -377,7 +377,7 @@ def stream_tumbling_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    out = run_append_to_completion(agg, "tumbling_append_e2e")
+    out = run_append_spooled(agg, "tumbling_append_e2e")
     return out.orderBy("window_start", "event_type")
 
 

@@ -144,6 +144,15 @@ def stream_cc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    # The last micro-batch's final hash_min_cc labels frame (a
+    # localCheckpoint — block-manager heap) is unreferenced once the
+    # drain ends but its py4j proxy sits in a reference cycle; collect it
+    # here so the key leaves no |V|-sized residue in a long-lived JVM
+    # (see graph/components.hash_min_cc for the measured numbers).
+    import gc
+
+    gc.collect()
+
     labels = spark.read.parquet(state["path"])
     return (
         labels.groupBy("lbl")

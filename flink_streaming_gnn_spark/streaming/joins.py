@@ -97,7 +97,7 @@ def stream_outer_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flink_streaming_gnn_spark.streaming.replay import (
         events_stream,
-        run_append_to_completion,
+        run_append_spooled,
     )
 
     stream = events_stream(spark, sf_dir, files_per_trigger=2)
@@ -126,7 +126,7 @@ def stream_outer_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "leftOuter",
     )
-    out = run_append_to_completion(
+    out = run_append_spooled(
         joined.select("p_id", "p_user", "p_ts", "c_id", "c_ts"), "outer_join_e2e"
     )
     return out.select(

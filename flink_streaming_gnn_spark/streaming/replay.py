@@ -123,8 +123,29 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
 
 
 def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
-    """Same, for append-mode streams (dedup, watermark-closed windows)."""
+    """Same, for append-mode streams (dedup, watermark-closed windows).
+
+    TEST-ONLY since round 9: an append stream's RESULT is every emitted
+    row, and the memory sink pins that result in driver heap for the
+    SESSION lifetime (the sink registers a temp table named
+    ``query_name`` that nothing ever drops) — the ×100 single-JVM soak
+    measured the cumulative residue of the append-drained e2e keys at
+    up to ~16 GiB of live heap AFTER the queries finished. Every
+    production ``queries()`` key drains via ``run_append_spooled``."""
     return _run_mode(stream_df, query_name, "append")
+
+
+def run_append_spooled(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Append-mode drain for DATA-SIZED emission streams (dedup key sets,
+    watermark-closed windows, stream–stream join output): ``foreachBatch``
+    appends each micro-batch's rows to a parquet spool — parallel
+    executor-side writes, nothing through the driver — and the result is
+    the spool read back lazily. Union-of-batches is exactly the memory
+    sink's contents for an append stream (each row emits once, on the
+    trigger that produced it), minus the session-lifetime driver-heap
+    pinning: the memory sink's temp table held the ×100 outer-join
+    output (~12 GiB) live until JVM exit."""
+    return _run_spooled(stream_df, query_name, "append", keep_state=False)
 
 
 def run_update_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
@@ -178,7 +199,7 @@ def run_update_spooled(stream_df: DataFrame, query_name: str) -> DataFrame:
     sink. The ×10 probe measured the memory sink at ~90 s of pure
     driver ingestion for a 10M-row emission; the spool removes that
     entirely. Returns the spool read back lazily (one columnar scan)."""
-    return _run_update_spooled(stream_df, query_name, keep_state=False)
+    return _run_spooled(stream_df, query_name, "update", keep_state=False)
 
 
 def run_update_spooled_with_state(
@@ -194,11 +215,11 @@ def run_update_spooled_with_state(
     A separate function, not a flag: a flag-dependent return shape
     (DataFrame vs tuple) is easy to mis-unpack from new call sites
     (ADVICE r7)."""
-    return _run_update_spooled(stream_df, query_name, keep_state=True)
+    return _run_spooled(stream_df, query_name, "update", keep_state=True)
 
 
-def _run_update_spooled(
-    stream_df: DataFrame, query_name: str, keep_state: bool
+def _run_spooled(
+    stream_df: DataFrame, query_name: str, output_mode: str, keep_state: bool
 ) -> DataFrame | tuple[DataFrame, str]:
     import contextlib
     import uuid
@@ -223,7 +244,7 @@ def _run_update_spooled(
         ckpt_ctx = tempfile.TemporaryDirectory()
     with ckpt_ctx as ckpt:
         q = (
-            stream_df.writeStream.outputMode("update")
+            stream_df.writeStream.outputMode(output_mode)
             .foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)

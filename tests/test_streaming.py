@@ -242,6 +242,7 @@ def test_spooled_drain_zero_batches_returns_empty(spark, tmp_path):
     empty frame with the stream schema instead of raising
     path-not-found."""
     from flink_streaming_gnn_spark.streaming.replay import (
+        run_append_spooled,
         run_complete_spooled,
         run_update_spooled,
     )
@@ -260,3 +261,32 @@ def test_spooled_drain_zero_batches_returns_empty(spark, tmp_path):
     )
     assert out_u.count() == 0
     assert set(out_u.columns) == {"k", "n"}
+
+    out_a = run_append_spooled(stream.dropDuplicates(["k"]), "zero_batch_append")
+    assert out_a.count() == 0
+    assert set(out_a.columns) == {"k", "v"}
+
+
+def test_append_spool_equals_memory_sink(spark):
+    """Round-9 drain swap: the append-mode parquet spool must return
+    exactly the memory sink's row set (union of per-trigger emissions —
+    each append-mode row emits once, on the trigger that produced it).
+    Pinned on the real replay source with multi-batch triggering, the
+    same shape the four switched e2e keys use."""
+    from flink_streaming_gnn_spark.streaming.replay import (
+        events_stream,
+        run_append_spooled,
+        run_append_to_completion,
+    )
+
+    def drained(runner, name):
+        stream = events_stream(spark, SF_SMOKE, files_per_trigger=2).select(
+            "user_id", "event_type"
+        )
+        out = runner(stream.dropDuplicates(["user_id", "event_type"]), name)
+        return sorted(map(tuple, out.collect()))
+
+    spooled = drained(run_append_spooled, "parity_append_spool")
+    memory = drained(run_append_to_completion, "parity_append_memory")
+    assert spooled == memory
+    assert len(spooled) > 0

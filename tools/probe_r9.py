@@ -63,6 +63,15 @@ spark = get_spark("probe_r9_x100")
 t0 = time.perf_counter()
 registry.all_queries()[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
 wall = time.perf_counter() - t0
+# Collect Python-side py4j proxy cycles BEFORE the JVM heap readout: the
+# readout's question is RETAINED residue, and uncollected CPython cycles
+# (DataFrame proxies pin JVM objects until a full gen2 collection) are
+# ordinary garbage, not retention — without this, the reading mixes the
+# two (measured: ~700 MiB of post-System.gc() heap that one gc.collect()
+# releases). Structural retention (e.g. a memory sink's session-lifetime
+# temp table) is unaffected by this and still shows.
+import gc
+gc.collect()
 spark.sparkContext._jvm.java.lang.System.gc()
 rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
 used = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
@@ -212,6 +221,10 @@ def run_soak_x100() -> int:
                 "overwrite"
             ).save()
             wall = time.perf_counter() - t0
+            # py4j-cycle collection before the readout — see _CHILD_BODY
+            import gc
+
+            gc.collect()
             spark.sparkContext._jvm.java.lang.System.gc()
             used, cap = _jvm_heap_mb(spark)
             print(
