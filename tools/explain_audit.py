@@ -735,7 +735,9 @@ def _audit_no_driver_collect(failures: list[str]) -> None:
         src = open(os.path.join(repo, rel)).read()
         for i, line in enumerate(src.splitlines(), 1):
             code = line.split("#", 1)[0]
-            if ".collect(" in code:
+            # target DataFrame/RDD .collect() only; `gc.collect()` is the
+            # round-9 E7 py4j-cycle release, not a driver data read
+            if ".collect(" in code and "gc.collect(" not in code:
                 failures.append(f"{rel}:{i}: driver collect in iterative data path")
 
 
