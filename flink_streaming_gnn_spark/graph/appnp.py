@@ -33,12 +33,14 @@ from pyspark.sql import functions as F
 from flink_streaming_gnn_spark.graph.edges import EDGES_V_CTE, derive_vertex_embeddings
 from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
 from flink_streaming_gnn_spark.sources.tables import load_table
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 ALPHA = 0.15
 ROUNDS = 3
 TRACK_DIMS = 4
 
 
+@release_superseded_checkpoints
 def gnn_appnp_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         derive_vertex_embeddings(spark, sf_dir)

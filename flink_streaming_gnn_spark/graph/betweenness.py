@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import EDGES_CTE, derive_edges
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 MAX_D = 4
 SEED_MOD = 1000  # a % 1000 == 0 in 2c-space ⇔ c_custkey % 500 == 0
@@ -63,6 +64,7 @@ def _undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
 
+@release_superseded_checkpoints
 def graph_betweenness_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex landmark betweenness: v, round(Σ_s δ(s,v), 6) over every
     vertex reached at depth ≥ 1 from any seed (zeros included — no float

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import EDGES_CTE, derive_edges
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 MAX_HOPS = 8
 
@@ -36,6 +37,7 @@ def _undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
 
+@release_superseded_checkpoints
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex minimum hop distance from the seed set (≤ MAX_HOPS)."""
     edges = _undirected(spark, sf_dir).localCheckpoint()

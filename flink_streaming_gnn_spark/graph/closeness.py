@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import EDGES_CTE, derive_edges
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 MAX_HOPS = 6
 SEED_MOD = 1000  # a % 1000 == 0 in 2c-space ⇔ c_custkey % 500 == 0
@@ -70,6 +71,7 @@ _EXPLODE_BITS = (
 )
 
 
+@release_superseded_checkpoints
 def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-seed: vertices reached within MAX_HOPS, total hop distance,
     closeness (reached/sum_dist) and harmonic centrality (Σ 1/d)."""

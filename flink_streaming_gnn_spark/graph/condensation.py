@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 from flink_streaming_gnn_spark.graph.edges import EDGES_V_CTE, derive_vertex_embeddings
 from flink_streaming_gnn_spark.graph.scc import MAX_OUTER, scc_labels_fb
 from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 
+@release_superseded_checkpoints
 def graph_condensation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         derive_vertex_embeddings(spark, sf_dir)

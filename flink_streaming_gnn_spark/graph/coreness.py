@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flink_streaming_gnn_spark.graph.edges import derive_edges
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 ORACLE_ROUNDS = 6  # ≥ measured sf0.01 convergence (4) — idempotent beyond
 MAX_ROUNDS = 60
@@ -43,6 +44,7 @@ def _undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
 
+@release_superseded_checkpoints
 def graph_coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry key: (v, coreness) for every vertex — the exact core
     number, computed to fixpoint."""

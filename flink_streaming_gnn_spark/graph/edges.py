@@ -11,14 +11,14 @@ each lineitem row is one edge event with a weight and an event time.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_streaming_gnn_spark.sources.scratch import ephemeral_dir
 from flink_streaming_gnn_spark.sources.tables import load_table, table_path
 
 # vertex-id space used for tensor fixtures: embeddings keyed by pmod(id, 500)
@@ -33,23 +33,33 @@ EMB_MOD = 500
 EDGE_BUCKETS = int(os.environ.get("SPARK_GRAFT_EDGE_BUCKETS", "32"))
 
 
+# per-(process, fixture generation) bucketed layout registry — uuid'd
+# names, warehouse removed at interpreter exit (same discipline and
+# rationale as operators/bucketing.py: nothing on disk keyed on fixture
+# identity, nothing outlives the process — built INSIDE the run even
+# when the opt-in is on)
+_BEDGES_DBS: dict[str, tuple[str, str]] = {}
+
+
 def _bucketed_edge_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """One-time bucketed layout of the edge-derivation join inputs
-    (lineitem WITH l_shipdate, orders), bucketed + sorted on orderkey —
-    the ingest-time layout a 100 TB deployment would persist so the
-    recurring lineitem ⋈ orders edge join runs with NO exchange on
-    either side (operators/bucketing.py proves the plan shape; this
-    wires it under every graph key). Digest-keyed per fixture
-    generation, same catalog discipline as sink_bucketed_join."""
+    """One-time-per-process bucketed layout of the edge-derivation join
+    inputs (lineitem WITH l_shipdate, orders), bucketed + sorted on
+    orderkey — the ingest-time layout a 100 TB deployment would persist
+    so the recurring lineitem ⋈ orders edge join runs with NO exchange
+    on either side (operators/bucketing.py proves the plan shape; this
+    wires it under every graph key). Same catalog discipline as
+    sink_bucketed_join."""
     sig = ":".join(
         f"{t}:{os.stat(table_path(sf_dir, t)).st_mtime_ns}"
         for t in ("lineitem", "orders")
     )
-    digest = hashlib.md5(
-        f"v2:b{EDGE_BUCKETS}:{sf_dir}:{sig}".encode()
-    ).hexdigest()[:12]
-    db = f"graft_bedges_{digest}"
-    wh = os.path.join(tempfile.gettempdir(), f"graft_bedges_wh_{digest}")
+    memo_key = f"v2:b{EDGE_BUCKETS}:{sf_dir}:{sig}"
+    entry = _BEDGES_DBS.get(memo_key)
+    if entry is None:
+        tag = uuid.uuid4().hex[:12]
+        entry = (f"graft_bedges_{tag}", ephemeral_dir(f"bedges_wh_{tag}"))
+        _BEDGES_DBS[memo_key] = entry
+    db, wh = entry
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
     catalog = spark.catalog
     if not catalog.tableExists(f"{db}.lineitem_e"):

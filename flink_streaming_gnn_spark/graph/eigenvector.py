@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import derive_edges
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 ROUNDS = 8
 
@@ -44,6 +45,7 @@ def _sym_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return v, e
 
 
+@release_superseded_checkpoints
 def eigenvector_scores(
     spark: SparkSession, sf_dir: str, rounds: int = ROUNDS
 ) -> DataFrame:

@@ -25,10 +25,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import derive_edges
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 ROUNDS = 8
 
 
+@release_superseded_checkpoints
 def hits_scores(spark: SparkSession, sf_dir: str, rounds: int = ROUNDS) -> DataFrame:
     """(side, id, score) for customers (hubs) and suppliers (authorities).
 

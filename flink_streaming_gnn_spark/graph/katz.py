@@ -24,11 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import derive_vertex_embeddings
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 ALPHA = 0.1
 ROUNDS = 6
 
 
+@release_superseded_checkpoints
 def katz_scores(spark: SparkSession, sf_dir: str, rounds: int = ROUNDS) -> DataFrame:
     # localCheckpoint, NOT persist: each round references `state` TWICE
     # (step join + accumulate join), so an uncheckpointed lineage doubles

@@ -25,11 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.triangles import _supplier_edges
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 K = 5
 MAX_ROUNDS = 30
 
 
+@release_superseded_checkpoints
 def kcore_vertices(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
     """Vertices of the k-core with their degree inside the core."""
     # undirected: materialize both directions once, peel on (v, other)

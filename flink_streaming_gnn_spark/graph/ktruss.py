@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import EDGES_V_CTE, derive_vertex_embeddings
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 KTRUSS_K = 60
 ORACLE_ROUNDS = 7  # ≥ measured sf0.01 convergence (6) — idempotent beyond
@@ -95,6 +96,7 @@ def _local_peel(spark: SparkSession, e: DataFrame) -> DataFrame:
     )
 
 
+@release_superseded_checkpoints
 def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry key: the K-truss of the projected graph — surviving
     edges with their converged support (support ≥ K−2 within the truss).

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import derive_edges
 from flink_streaming_gnn_spark.plans.truncate import fresh_frame
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 ROUND_CAP = 48  # components halve per round: covers 2^48 vertices
 CC_CAP = 30  # merge-forest label-propagation cap per round
@@ -182,6 +183,7 @@ def _kruskal_tail(e_cur: DataFrame) -> tuple[float, int, float]:
     return s, n, m
 
 
+@release_superseded_checkpoints
 def mst_forest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka WITH EDGE CONTRACTION: the working edge set is re-keyed to
     component endpoints AND collapsed to the lightest original edge per

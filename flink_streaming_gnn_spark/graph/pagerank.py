@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import derive_edges
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 DAMPING = 0.85
 ROUNDS = 10
@@ -45,6 +46,7 @@ def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return v, e
 
 
+@release_superseded_checkpoints
 def pagerank_ranks(spark: SparkSession, sf_dir: str, rounds: int = ROUNDS) -> DataFrame:
     v, e = _graph(spark, sf_dir)
     v = v.persist()

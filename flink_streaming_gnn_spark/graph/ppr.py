@@ -27,12 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.pagerank import _graph, _is_verify_scale
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 DAMPING = 0.85
 ROUNDS = 10
 SEED_MOD = 1000  # a % 1000 == 0 ⇔ c_custkey % 500 == 0 (closeness landmarks)
 
 
+@release_superseded_checkpoints
 def ppr_ranks(
     spark: SparkSession, sf_dir: str, rounds: int = ROUNDS
 ) -> DataFrame:

@@ -29,10 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.graph.edges import EDGES_V_CTE, derive_vertex_embeddings
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 DOUBLING_ROUNDS = 5  # 2^5 = 32-hop closure, far beyond the fixture diameter
 
 
+@release_superseded_checkpoints
 def scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         derive_vertex_embeddings(spark, sf_dir)
@@ -83,6 +85,7 @@ MAX_OUTER = 12  # condensation-chain bound for the fixture graph
 MAX_INNER = 25  # propagation fixpoint bound (graph diameter)
 
 
+@release_superseded_checkpoints
 def scc_labels_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE 100 TB SCC path — forward-backward coloring (Orzan-style), the
     closure-free algorithm ``scc_labels``' docstring promises: per outer

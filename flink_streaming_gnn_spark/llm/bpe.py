@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.sources.tables import load_table
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 
 MERGES = 8
 
@@ -74,6 +75,7 @@ def _pair_counts(dict_df: DataFrame) -> DataFrame:
     )
 
 
+@release_superseded_checkpoints
 def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first MERGES BPE merge rules: (merge_rank, left_tok, right_tok,
     merged, pair_freq)."""

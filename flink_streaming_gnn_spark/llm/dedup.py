@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from flink_streaming_gnn_spark.functions.arrays import dot_expr
 from flink_streaming_gnn_spark.plans.hints import maybe_broadcast
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 
@@ -591,6 +592,7 @@ def dedup_embedding_cosine_planted(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@release_superseded_checkpoints
 def _cc_over_pairs(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
     """Connected components over an undirected pair list ``(doc_a, doc_b)``
     by hash-min label propagation (same driver-loop shape as

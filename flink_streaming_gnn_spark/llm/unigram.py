@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_streaming_gnn_spark.plans.truncate import release_superseded_checkpoints
 from flink_streaming_gnn_spark.sources.tables import load_table
 
 SEED_MAX_LEN = 4
@@ -163,6 +164,7 @@ def _em_round(wf: DataFrame, vocab: dict[str, float]) -> list[tuple[str, float]]
     return out_rows
 
 
+@release_superseded_checkpoints
 def _train(spark: SparkSession, sf_dir: str) -> list[tuple[str, float]]:
     wf = _word_freqs(spark, sf_dir).localCheckpoint()
     seed = _seed_vocab(wf)

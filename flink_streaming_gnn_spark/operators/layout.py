@@ -28,8 +28,6 @@ the rewrite exact.
 
 from __future__ import annotations
 
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,10 +78,9 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         F.expr(_morton_terms("xq", "yq", "div")).cast("long").alias("zval"),
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"zorder_layout_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    from flink_streaming_gnn_spark.sources.scratch import ephemeral_dir
+
+    out_dir = ephemeral_dir("zorder_layout")
     (
         z.repartitionByRange(16, "zval")
         .sortWithinPartitions("zval")

@@ -9,12 +9,16 @@ writer, committer, partition layout, and schema fidelity in one check.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_streaming_gnn_spark.sources.tables import load_table
+from flink_streaming_gnn_spark.sources.scratch import (
+    ephemeral_dir,
+    fixture_fingerprint,
+    scratch_dir,
+)
+from flink_streaming_gnn_spark.sources.tables import load_table, table_path
 
 
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,9 +35,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"sink_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    out_dir = ephemeral_dir("sink_roundtrip")
     agg.write.mode("overwrite").partitionBy("l_returnflag").parquet(out_dir)
     back = spark.read.parquet(out_dir)
     # partition column comes back last and typed as read; restore order/type
@@ -54,12 +56,14 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned table, so a pruning bug that drops or duplicates
     partitions cannot hash-match."""
     d = load_table(spark, sf_dir, "documents")
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"docs_bylang_{os.path.basename(sf_dir.rstrip('/'))}",
+    # per-process scratch layout (round 10: was reused across runs keyed
+    # on the fixture's basename alone — cross-run reuse, and a stale-read
+    # hazard for regenerated fixtures)
+    out_dir = scratch_dir(
+        "docs_bylang",
+        fixture_fingerprint(table_path(sf_dir, "documents")),
+        lambda staging: d.write.mode("overwrite").partitionBy("lang").parquet(staging),
     )
-    if not os.path.isdir(out_dir):
-        d.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
     back = spark.read.parquet(out_dir)
     langs = [r.lang for r in d.select("lang").distinct().collect()]
     target = sorted(langs)[0]  # deterministic: lexicographically first lang
@@ -80,9 +84,8 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match; the file counts are asserted so the key proves compaction
     actually happened."""
     ev = load_table(spark, sf_dir, "events")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    frag_dir = os.path.join(tempfile.gettempdir(), f"events_frag_{tag}")
-    compact_dir = os.path.join(tempfile.gettempdir(), f"events_compact_{tag}")
+    frag_dir = ephemeral_dir("events_frag")
+    compact_dir = ephemeral_dir("events_compact")
     ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
     frag = spark.read.parquet(frag_dir)
     frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
@@ -112,8 +115,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"events_evolved_{tag}")
+    out = ephemeral_dir("events_evolved")
     gen1 = ev.filter(F.pmod("event_id", F.lit(2)) == 0).drop("value")
     gen2 = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
     gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))

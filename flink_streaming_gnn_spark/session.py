@@ -100,6 +100,19 @@ def get_spark(
             "spark.io.compression.codec",
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
+        # Parquet codec for everything the engine WRITES (spools, sinks,
+        # scratch, blown corpora): zstd per guide §6/§9 — smaller than
+        # snappy at similar read speed. Unlike the SHUFFLE codec (E3:
+        # no signal on a page-cache shuffle, lz4 kept), parquet output
+        # hits disk and is re-read; on the disk-bound ×1000 ladder the
+        # ratio is the difference between fitting the run in the sandbox
+        # disk budget and ENOSPC (round-9 rung attempt). No timed
+        # headline query writes parquet (noop sink), so the bench is
+        # unaffected; results are codec-independent.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         # Single-JVM large-state robustness (round-9 ×100 soak catch): at
         # 10⁸-row streaming state a >10 s full-GC (24g heap) or transient
         # host stall blows the IN-PROCESS executor heartbeat

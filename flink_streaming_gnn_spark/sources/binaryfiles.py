@@ -22,10 +22,7 @@ same reader scans an object-store prefix with millions of blobs.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,35 +33,29 @@ N_FILES = 200
 
 
 def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize documents doc_id < N_FILES as one .bin file each,
-    cached in tmp keyed on fixture content, atomically published (the
-    ``sources/formats.py`` discipline)."""
-    src = table_path(sf_dir, "documents")
-    try:
-        st = os.stat(src)
-        fingerprint = f"bin:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        fingerprint = f"bin:{sf_dir}"
-    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), f"docs_bin_{digest}")
-    if not os.path.isdir(out_dir):
+    """Materialize documents doc_id < N_FILES as one .bin file each —
+    per-process scratch input (the ``sources/scratch.py`` discipline)."""
+    from flink_streaming_gnn_spark.sources.scratch import (
+        fixture_fingerprint,
+        scratch_dir,
+    )
+
+    def _build(staging: str) -> None:
         rows = (
             load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < N_FILES)
             .select("doc_id", "text")
             .collect()  # bounded: ≤ N_FILES rows by construction
         )
-        staging = tempfile.mkdtemp(
-            prefix=f"docs_bin_{digest}_", dir=tempfile.gettempdir()
-        )
         for r in rows:
             with open(os.path.join(staging, f"{r.doc_id:08d}.bin"), "wb") as f:
                 f.write(r.text.encode("utf-8"))
-        try:
-            os.rename(staging, out_dir)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
-    return out_dir
+
+    return scratch_dir(
+        "docs_bin",
+        f"bin{N_FILES}:" + fixture_fingerprint(table_path(sf_dir, "documents")),
+        _build,
+    )
 
 
 def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,43 +11,38 @@ PERMISSIVE default with a `_corrupt_record` column in production configs.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_streaming_gnn_spark.sources.scratch import (
+    fixture_fingerprint,
+    scratch_dir,
+)
 from flink_streaming_gnn_spark.sources.tables import load_table, table_path
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
 def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Write the documents table once as ``fmt`` (csv/json/orc), cached in
-    tmp keyed on fixture content, atomically published."""
-    src = table_path(sf_dir, "documents")
-    try:
-        st = os.stat(src)
-        fingerprint = f"{fmt}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        fingerprint = f"{fmt}:{sf_dir}"
-    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), f"docs_{fmt}_{digest}")
-    if not os.path.isdir(out_dir):
-        staging = tempfile.mkdtemp(prefix=f"docs_{fmt}_{digest}_", dir=tempfile.gettempdir())
-        writer = load_table(spark, sf_dir, "documents").coalesce(1).write.mode("overwrite")
+    """Write the documents table once PER PROCESS as ``fmt``
+    (csv/json/orc) — a derived scratch input that dies with the process
+    (sources/scratch.py)."""
+
+    def _build(staging: str) -> None:
+        writer = (
+            load_table(spark, sf_dir, "documents").coalesce(1).write.mode("overwrite")
+        )
         if fmt == "csv":
             writer.option("header", "true").option("quoteAll", "true").csv(staging)
         elif fmt == "orc":
             writer.orc(staging)
         else:
             writer.json(staging)
-        try:
-            os.rename(staging, out_dir)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
-    return out_dir
+
+    return scratch_dir(
+        f"docs_{fmt}",
+        fixture_fingerprint(table_path(sf_dir, "documents")),
+        _build,
+    )
 
 
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,22 +80,12 @@ CORRUPT_MOD = 7  # rows with doc_id % CORRUPT_MOD == 0 are mangled
 
 def _corrupt_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     """JSONL copy of documents with a deterministic fraction of rows
-    mangled (truncated mid-object + junk suffix) — cached/atomic like
-    the clean round-trip dirs."""
-    src = table_path(sf_dir, "documents")
-    try:
-        st = os.stat(src)
-        fingerprint = f"corrupt{CORRUPT_MOD}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        fingerprint = f"corrupt{CORRUPT_MOD}:{sf_dir}"
-    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), f"docs_corrupt_{digest}")
-    if not os.path.isdir(out_dir):
+    mangled (truncated mid-object + junk suffix) — per-process scratch
+    like the clean round-trip dirs."""
+
+    def _build(staging: str) -> None:
         from pyspark.sql import functions as F
 
-        staging = tempfile.mkdtemp(
-            prefix=f"docs_corrupt_{digest}_", dir=tempfile.gettempdir()
-        )
         js = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
         lines = load_table(spark, sf_dir, "documents").select(
             F.when(
@@ -111,11 +96,12 @@ def _corrupt_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
             .alias("value")
         )
         lines.coalesce(1).write.mode("overwrite").text(staging)
-        try:
-            os.rename(staging, out_dir)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
-    return out_dir
+
+    return scratch_dir(
+        f"docs_corrupt{CORRUPT_MOD}",
+        fixture_fingerprint(table_path(sf_dir, "documents")),
+        _build,
+    )
 
 
 def source_jsonl_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:

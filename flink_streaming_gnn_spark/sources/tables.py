@@ -9,7 +9,7 @@ pruning for free; no custom reader code is needed or wanted.
 from __future__ import annotations
 
 import os
-from weakref import WeakKeyDictionary
+import stat as stat_mod
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,22 +34,43 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Inferred-schema memo, keyed on (realpath, dir mtime_ns). Schema inference
-# is the expensive half of ``spark.read.parquet`` — it can launch a
-# footer-reading job per call (round-9 floor profile: ~320 ms inferred vs
-# ~90 ms with an explicit schema on this box), and every query constructs
-# its scans fresh 1–4 times per timed run. This memo caches METADATA only
-# (a StructType, session-independent plain Python): the relation, plan and
-# results are bit-identical — the first read per (path, content) still
-# infers, later reads pass the same schema explicitly. The mtime key
-# invalidates on in-place rewrites (blown-corpus dirs publish under new
-# names via atomic rename, so they never collide).
+def _content_sig(path: str) -> int:
+    """Content signature for memo invalidation. For a single-file table
+    the file's mtime_ns suffices. For a DIRECTORY table (blown-up
+    corpora, Spark-written fixtures) the directory mtime only changes
+    when entries are added/removed — an in-place rewrite of a part
+    file's CONTENT would not bump it (ADVICE r9), and a stale memo
+    would serve a stale file index (wrong lengths → truncated reads).
+    Fold each entry's (name, size, mtime_ns) into the signature so any
+    rewrite invalidates. One scandir of ≤ a few dozen entries — cheap
+    metadata, never data."""
+    st = os.stat(path)
+    if not stat_mod.S_ISDIR(st.st_mode):
+        return st.st_mtime_ns
+    entries = []
+    with os.scandir(path) as it:
+        for e in it:
+            es = e.stat()
+            entries.append((e.name, es.st_size, es.st_mtime_ns))
+    return hash((st.st_mtime_ns, tuple(sorted(entries))))
+
+
+# Inferred-schema memo, keyed on (realpath, content signature). Schema
+# inference is the expensive half of ``spark.read.parquet`` — it can
+# launch a footer-reading job per call (round-9 floor profile: ~320 ms
+# inferred vs ~90 ms with an explicit schema on this box), and every
+# query constructs its scans fresh 1–4 times per timed run. This memo
+# caches METADATA only (a StructType, session-independent plain Python):
+# the relation, plan and results are bit-identical — the first read per
+# (path, content) still infers, later reads pass the same schema
+# explicitly. The content key invalidates on in-place rewrites, for
+# directory tables too (pinned in tests/test_schema_memo.py).
 _SCHEMA_CACHE: dict[tuple[str, int], "object"] = {}
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     try:
-        key = (os.path.realpath(path), os.stat(path).st_mtime_ns)
+        key = (os.path.realpath(path), _content_sig(path))
     except OSError:
         return spark.read.parquet(path)  # let Spark raise its own error
     schema = _SCHEMA_CACHE.get(key)
@@ -60,20 +81,28 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-# Resolved-DataFrame memo, keyed per SparkSession (weak — dies with the
-# session) on (table name, realpath, dir mtime_ns). One step past the
-# schema memo: even with an explicit schema, every ``read.parquet`` call
-# pays relation construction — file listing (InMemoryFileIndex) plus a
-# dozen Py4J round-trips — measured at ~90 ms/call on this box, and each
-# timed bench run re-constructs 1–4 scans per query. A DataFrame is an
-# immutable logical plan, so handing the SAME object back is what a
-# catalog table (or any production job that builds its frames once per
-# session) already does: METADATA reuse only. Every action still runs
-# the full scan+compute from the parquet inputs — no rows, no results,
-# nothing derived from data persists here, and nothing survives the
-# process. The mtime key invalidates on in-place rewrites exactly like
-# the schema memo (pinned in tests/test_schema_memo.py).
-_DF_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+# Resolved-DataFrame memo, stored AS AN ATTRIBUTE ON the SparkSession
+# object and keyed on (table name, realpath, content signature). One
+# step past the schema memo: even with an explicit schema, every
+# ``read.parquet`` call pays relation construction — file listing
+# (InMemoryFileIndex) plus a dozen Py4J round-trips — measured at
+# ~90 ms/call on this box, and each timed bench run re-constructs 1–4
+# scans per query. A DataFrame is an immutable logical plan, so handing
+# the SAME object back is what a catalog table (or any production job
+# that builds its frames once per session) already does: METADATA reuse
+# only. Every action still runs the full scan+compute from the parquet
+# inputs — no rows, no results, nothing derived from data persists here,
+# and nothing survives the process.
+#
+# Why an attribute and not a WeakKeyDictionary keyed on the session
+# (round 9's shape): the cached DataFrames strongly reference their
+# SparkSession, and a WeakKeyDictionary whose VALUES reference their
+# keys never discards those entries (the documented weakref caveat) — a
+# stopped session and its memoized plans would be retained for process
+# lifetime (ADVICE r9). As a plain attribute the memo is an ordinary
+# session→dict→DataFrame→session reference cycle, which the cyclic GC
+# collects as soon as the session object is dropped.
+_DF_MEMO_ATTR = "_graft_df_memo"
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -96,18 +125,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with pushdown/pruning intact.
 
     Repeat calls for the same (table, fixture content) on the same session
-    return the same DataFrame object (see ``_DF_CACHE``) — identical plan,
-    identical results, minus the per-call relation-construction floor.
+    return the same DataFrame object (see ``_DF_MEMO_ATTR``) — identical
+    plan, identical results, minus the per-call relation-construction
+    floor.
     """
     path = table_path(sf_dir, name)
     try:
-        key = (name, os.path.realpath(path), os.stat(path).st_mtime_ns)
+        key = (name, os.path.realpath(path), _content_sig(path))
     except OSError:
         return _load_table_uncached(spark, sf_dir, name)
-    per_session = _DF_CACHE.get(spark)
+    per_session = getattr(spark, _DF_MEMO_ATTR, None)
     if per_session is None:
         per_session = {}
-        _DF_CACHE[spark] = per_session
+        setattr(spark, _DF_MEMO_ATTR, per_session)
     df = per_session.get(key)
     if df is None:
         df = _load_table_uncached(spark, sf_dir, name)

@@ -30,7 +30,6 @@ arrival-order-invariant, so batching never changes the fixpoint.
 from __future__ import annotations
 
 import glob
-import hashlib
 import os
 import tempfile
 import time
@@ -50,20 +49,15 @@ FILES_PER_TRIGGER = 2  # -> 4 micro-batches over the fixture
 
 def edges_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded-source view of the DERIVED edge table: the lineitem ⋈
-    orders edge events re-chunked into ship-date-ordered parquet ranges
-    (the events_stream cache/atomic-publish discipline, replay.py)."""
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    try:
-        stat = os.stat(src)
-        fingerprint = f"v1-edgechunks:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}"
-    except OSError:
-        fingerprint = f"v1-edgechunks:{sf_dir}"
-    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
-    chunk_dir = os.path.join(tempfile.gettempdir(), f"edge_chunks_{digest}")
-    if not os.path.isdir(chunk_dir):
-        staging = tempfile.mkdtemp(
-            prefix=f"edge_chunks_{digest}_", dir=tempfile.gettempdir()
-        )
+    orders edge events re-chunked into ship-date-ordered parquet ranges,
+    built once per process from the fixture and gone at exit (the
+    events_stream discipline, replay.py / sources/scratch.py)."""
+    from flink_streaming_gnn_spark.sources.scratch import (
+        fixture_fingerprint,
+        scratch_dir,
+    )
+
+    def _build(staging: str) -> None:
         (
             derive_edges(spark, sf_dir)
             .select("src", "dst", "ts")
@@ -75,12 +69,13 @@ def edges_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = int(time.time())
         for i, p in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
             os.utime(p, (base + i, base + i))
-        try:
-            os.rename(staging, chunk_dir)
-        except OSError:
-            import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)
+    chunk_dir = scratch_dir(
+        "edge_chunks",
+        "v1-edgechunks:"
+        + fixture_fingerprint(os.path.join(sf_dir, "lineitem.parquet")),
+        _build,
+    )
     return (
         spark.readStream.schema("src long, dst long, ts timestamp_ntz")
         .option("maxFilesPerTrigger", FILES_PER_TRIGGER)

@@ -49,26 +49,20 @@ def events_stream(
     arrive mostly behind the watermark, so late-drop became an accident of
     which keys hashed into the first file).
 
-    The chunk cache is keyed on the fixture's identity AND content
-    (path + mtime + size) plus the chunking-scheme version, so a
-    regenerated fixture (or this code changing) gets fresh chunks, and is
-    populated atomically (write to a temp dir, ``os.rename`` into place)
-    so concurrent test sessions never observe a partially written cache.
+    Chunks are built ONCE PER PROCESS from the parquet fixture and die
+    with the process (sources/scratch.py — round 10 removed the
+    digest-keyed cross-run /tmp cache this used to keep; a fresh run must
+    derive everything from the fixture inputs).
     """
     import glob
-    import hashlib
     import time
 
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        stat = os.stat(src)
-        fingerprint = f"v2-tsorder:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}"
-    except OSError:
-        fingerprint = f"v2-tsorder:{sf_dir}"  # directory-style fixtures
-    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
-    chunk_dir = os.path.join(tempfile.gettempdir(), f"events_chunks_{digest}")
-    if not os.path.isdir(chunk_dir):
-        staging = tempfile.mkdtemp(prefix=f"events_chunks_{digest}_", dir=tempfile.gettempdir())
+    from flink_streaming_gnn_spark.sources.scratch import (
+        fixture_fingerprint,
+        scratch_dir,
+    )
+
+    def _build(staging: str) -> None:
         (
             load_table(spark, sf_dir, "events")
             .repartitionByRange(8, "ts", "event_id")
@@ -81,13 +75,12 @@ def events_stream(
         base = int(time.time())
         for i, p in enumerate(sorted(glob.glob(os.path.join(staging, "part-*")))):
             os.utime(p, (base + i, base + i))
-        try:
-            os.rename(staging, chunk_dir)  # atomic publish
-        except OSError:
-            # another session published first; its chunks are equivalent
-            import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)
+    chunk_dir = scratch_dir(
+        "events_chunks",
+        "v2-tsorder:" + fixture_fingerprint(os.path.join(sf_dir, "events.parquet")),
+        _build,
+    )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
@@ -231,8 +224,16 @@ def _run_spooled(
     )
     _cleanup_at_exit(spool)
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(spool)
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # One sub-directory per micro-batch, written with overwrite:
+        # foreachBatch is exactly-once only if the sink is idempotent,
+        # and a blind append would duplicate rows if a micro-batch were
+        # re-executed after a checkpoint restart (ADVICE r9). Overwrite
+        # of the batch's own dir makes replays a no-op; the union of
+        # batch dirs is read back recursively below.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(spool, f"b{batch_id}")
+        )
 
     if keep_state:
         kept = os.path.join(
@@ -260,10 +261,22 @@ def _read_spool(spark: SparkSession, spool: str, schema: T.StructType) -> DataFr
     """Read a drained parquet spool back; a stream whose availableNow
     drain fired ZERO batches (empty source) never wrote the spool, so
     return an empty frame with the stream's schema instead of letting
-    spark.read.parquet raise path-not-found (ADVICE r8)."""
+    spark.read.parquet raise path-not-found (ADVICE r8).
+
+    The stream's own schema is passed explicitly (the spool was written
+    from exactly this stream, so it matches by construction) and the
+    lookup is recursive: append/update spools hold one ``b<batch_id>``
+    sub-dir per micro-batch (idempotent overwrite-per-batch, ADVICE r9),
+    complete spools are flat — one reader covers both, with no
+    footer-inference job and no partition-column misparse of the ``bN``
+    names (recursiveFileLookup disables partition discovery)."""
     if not os.path.isdir(spool):
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(spool)
+    return (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(spool)
+    )
 
 
 def _cleanup_at_exit(path: str) -> None:

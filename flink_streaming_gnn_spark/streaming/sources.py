@@ -107,31 +107,23 @@ def wire_events_stream(
 ) -> DataFrame:
     """File-backed Kafka double: the events fixture encoded to the wire
     schema and replayed as a multi-file stream (several micro-batches),
-    then decoded by the SAME decode_events the production path uses."""
-    import hashlib
+    then decoded by the SAME decode_events the production path uses.
+    The encoded wire copy is per-process scratch (sources/scratch.py)."""
     import os
-    import shutil
-    import tempfile
 
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        stat = os.stat(src)
-        fingerprint = f"wire:{sf_dir}:{stat.st_mtime_ns}:{stat.st_size}"
-    except OSError:
-        fingerprint = f"wire:{sf_dir}"
-    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
-    wire_dir = os.path.join(tempfile.gettempdir(), f"events_wire_{digest}")
-    if not os.path.isdir(wire_dir):
-        staging = tempfile.mkdtemp(
-            prefix=f"events_wire_{digest}_", dir=tempfile.gettempdir()
-        )
-        encode_events_wire(load_table(spark, sf_dir, "events")).repartition(
-            8, "key"
-        ).write.mode("overwrite").parquet(staging)
-        try:
-            os.rename(staging, wire_dir)  # atomic publish
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
+    from flink_streaming_gnn_spark.sources.scratch import (
+        fixture_fingerprint,
+        scratch_dir,
+    )
+
+    wire_dir = scratch_dir(
+        "events_wire",
+        "wire:" + fixture_fingerprint(os.path.join(sf_dir, "events.parquet")),
+        lambda staging: encode_events_wire(load_table(spark, sf_dir, "events"))
+        .repartition(8, "key")
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
     reader = spark.readStream.schema(
         "key binary, value binary, topic string, partition int, offset long,"
         " timestamp timestamp, timestampType int"

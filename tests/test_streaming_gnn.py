@@ -5,7 +5,6 @@ forward, with Spark's state store doing the coalescing incrementally."""
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
@@ -23,12 +22,19 @@ from tests.oracle_compare import compare_frames
 
 
 def _edges_stream(spark, sf_dir, files_per_trigger=2):
-    digest = hashlib.md5(f"edges{sf_dir}".encode()).hexdigest()[:8]
-    chunk_dir = os.path.join(tempfile.gettempdir(), f"edge_chunks_{digest}")
-    if not os.path.isdir(chunk_dir) or not os.listdir(chunk_dir):
-        edges_v_with_ts(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(
-            chunk_dir
-        )
+    from flink_streaming_gnn_spark.sources.scratch import (
+        fixture_fingerprint,
+        scratch_dir,
+    )
+
+    chunk_dir = scratch_dir(
+        "test_gnn_edge_chunks",
+        fixture_fingerprint(os.path.join(sf_dir, "lineitem.parquet")),
+        lambda staging: edges_v_with_ts(spark, sf_dir)
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
     return (
         spark.readStream.schema("src_v long, dst_v long, ts timestamp")
         .option("maxFilesPerTrigger", files_per_trigger)

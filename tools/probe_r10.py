@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Round-10 scale probes (VERDICT r9 "Next round" #2 and #3).
+
+Modes:
+
+  --batch-soak [xN]   the BATCH twin of the streaming soak: run every
+                  iterative graph/LLM kernel SEQUENTIALLY in ONE JVM
+                  against the ×10 blown corpus (default) and print each
+                  key's wall + persistent-RDD count + post-GC driver
+                  heap. Done-condition for the round-10 E7 sweep
+                  (kernel-exit gc.collect() across all iterative
+                  kernels): the persistent-RDD count returns to ~0 and
+                  the heap to a low plateau after EVERY key — no
+                  superseded localCheckpoint block sets accumulating
+                  across a multi-query session.
+  --x1000-stream K [K…]  the ×1000 ladder rung under a DISK BUDGET
+                  (VERDICT r9 #3): purge this round's ×10/×100 scratch
+                  first, build the ×1000 events table with zstd parquet
+                  (disk-bound path — compression pays here, unlike the
+                  page-cache shuffle E3 measured), then run each key in
+                  its own subprocess JVM with the heap readout.
+                  Defaults to the SMALL-OUTPUT keys first.
+
+Ledger discipline: stdout is the record — redirect to
+tools/probe_r10_<mode>.log and commit the log. NEVER compare walls
+against a prior round's recording (box swing ±15-50%); perf CLAIMS need
+an interleaved tools/ab_probe.py run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from probe_r8 import _blown10, _jvm_heap_mb  # noqa: E402
+
+# every kernel decorated with release_superseded_checkpoints this round,
+# plus the two round-9 sites (components / stream_cc) for continuity —
+# ordered cheap→expensive so an early failure still yields a ledger
+BATCH_SOAK_KEYS = (
+    "graph_bfs_levels",
+    "graph_kcore",
+    "graph_coreness_hindex",
+    "graph_label_propagation",
+    "graph_connected_components",
+    "graph_condensation_dag",
+    "graph_scc",
+    "graph_katz_centrality",
+    "graph_hits",
+    "graph_eigenvector_centrality",
+    "graph_ppr_seeded",
+    "gnn_appnp_propagate",
+    "graph_pagerank",
+    "graph_closeness_centrality",
+    "graph_betweenness_landmark",
+    "graph_ktruss",
+    "graph_mst_boruvka",
+    "tokenizer_bpe_train",
+    "tokenizer_unigram_train",
+    "dedup_cluster_canonical",
+)
+
+
+def _persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def run_batch_soak(sf_dir: str | None) -> int:
+    from flink_streaming_gnn_spark import registry
+    from flink_streaming_gnn_spark.session import get_spark
+
+    corpus = sf_dir or _blown10()
+    print(f"batch soak corpus: {corpus}", flush=True)
+    spark = get_spark("probe_r10_batch_soak")
+    queries = registry.all_queries()
+    failures = 0
+    for key in BATCH_SOAK_KEYS:
+        t0 = time.perf_counter()
+        try:
+            queries[key](spark, corpus).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = time.perf_counter() - t0
+            # readout discipline (probe_r9): one Python gc so ordinary
+            # uncollected py4j garbage doesn't masquerade as retention,
+            # then a JVM System.gc for the heap figure
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.java.lang.System.gc()
+            used, cap = _jvm_heap_mb(spark)
+            print(
+                f"{key}: {wall:.1f}s  persistentRDDs={_persistent_rdds(spark)}"
+                f"  heap {used:.0f}/{cap:.0f} MiB",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — the ledger records
+            failures += 1
+            print(f"{key}: ERROR {str(exc)[:300]}", flush=True)
+    return failures
+
+
+# ×1000 rung under the sandbox disk budget: the round-9 attempt
+# (tools/probe_r9_x1000_scd2.log) died at ENOSPC — 10⁹-row shuffle spill
+# + event-sized spool + checkpoint exceeded ~52 GB free. Budgeting:
+# purge orphaned probe scratch first, zstd parquet everywhere
+# (session.py default since this round), and rung the SMALL-OUTPUT keys
+# (state-store-sized results) before the event-sized ones.
+X1000_KEYS_SMALL = (
+    "stream_sliding_e2e",
+    "stream_tumbling_append_e2e",
+    "stream_dedup_e2e",
+)
+
+_PURGE_GLOBS = (
+    "graft_events_chunks_*",
+    "graft_gnn_edge_chunks_*",
+    "graft_edge_chunks_*",
+    "stream_spool_*",
+    "stream_cspool_*",
+    "stream_ckpt_*",
+    "cc_state_*",
+    # pre-round-10 digest-keyed leftovers from earlier rounds' processes
+    "events_chunks_*",
+    "gnn_edge_chunks_*",
+    "edge_chunks_*",
+    "docs_*",
+    "events_wire_*",
+    "events_frag_*",
+    "events_compact_*",
+    "events_evolved_*",
+    "zorder_layout_*",
+    "sink_roundtrip_*",
+    "graft_bucketed_wh_*",
+    "graft_bedges_wh_*",
+)
+
+
+def purge_scratch() -> None:
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    freed = 0
+    for pat in _PURGE_GLOBS:
+        for p in _glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            try:
+                sz = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(p)
+                    for f in fs
+                )
+            except OSError:
+                sz = 0
+            shutil.rmtree(p, ignore_errors=True)
+            freed += sz
+    print(f"purged orphaned scratch: {freed / (1 << 30):.1f} GiB", flush=True)
+
+
+def run_x1000_stream(keys: list[str]) -> int:
+    import probe_r9
+
+    purge_scratch()
+    return probe_r9.run_x1000_stream(keys)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "--batch-soak":
+        sys.exit(run_batch_soak(args[1] if len(args) > 1 else None))
+    if args and args[0] == "--x1000-stream":
+        sys.exit(run_x1000_stream(args[1:] or list(X1000_KEYS_SMALL)))
+    if args and args[0] == "--purge-scratch":
+        purge_scratch()
+        sys.exit(0)
+    print(__doc__)
+    sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
