@@ -64,6 +64,17 @@ def graph_2hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dst")
         .agg(F.sum("c_acctbal").alias("s_b"), F.count("*").alias("n_b"))
     )
+    # per_b is one row per distinct dst — bounded by the supplier key
+    # domain (dst = l_suppkey), which the optimizer cannot see: its own
+    # estimate for the aggregate is join-multiplied garbage (~97 PB at
+    # sf0.1 for 1000 actual rows), so it plans a sort-merge join and
+    # shuffles the ENTIRE edge side by dst. Gating the broadcast on the
+    # supplier table's accurate footer estimate removes that exchange
+    # and both sorts (guide §2.4/§3.1/§8); past the 128 MB domain gate
+    # the hint is withheld and the SMJ fallback returns.
+    per_b = maybe_broadcast(
+        per_b, size_of=load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    )
     return (
         e.join(per_b, "dst")
         .groupBy(F.col("src").alias("vertex"))

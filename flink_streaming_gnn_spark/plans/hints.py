@@ -42,11 +42,27 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_BROADCAST_BYTES) -> DataFrame:
+def maybe_broadcast(
+    df: DataFrame,
+    max_bytes: int = DEFAULT_BROADCAST_BYTES,
+    size_of: DataFrame | None = None,
+) -> DataFrame:
     """Broadcast-hint ``df`` only if Catalyst estimates it under
     ``max_bytes``; otherwise return it unhinted so AQE keeps the freedom to
-    demote to a shuffle join (or promote to broadcast with runtime sizes)."""
-    size = plan_size_bytes(df)
+    demote to a shuffle join (or promote to broadcast with runtime sizes).
+
+    ``size_of``: gate on THAT frame's estimate instead of ``df``'s own —
+    for problem knowledge the optimizer cannot derive (guide §8). The
+    canonical case is an aggregate whose row count is bounded by a key
+    domain: Catalyst's post-join/post-agg estimates are multiplicative
+    garbage (measured: a 1000-row per-supplier aggregate estimated at
+    ~97 PB, forcing a sort-merge join with a full shuffle of the edge
+    side), while the DOMAIN table's footer-based estimate is accurate.
+    The caller asserts ``|df| ≤ |size_of|`` rows; the gate then scales
+    with the data exactly like every other maybe_broadcast site — at a
+    scale where the domain outgrows the threshold, no hint is applied
+    and the engine falls back to the shuffle join."""
+    size = plan_size_bytes(size_of if size_of is not None else df)
     if size is not None and 0 <= size <= max_bytes:
         return F.broadcast(df)
     return df

@@ -113,7 +113,10 @@ def main() -> None:
     )
     try:
         for r in range(1, rounds + 1):
-            for label, tree in (("HEAD", REPO), (ref, base)):
+            arms = (("worktree", REPO), (f"base:{ref}", base))
+            if r % 2 == 0:  # alternate order to cancel first-arm bias
+                arms = arms[::-1]  # (the E3/round-9 reversed-order lesson)
+            for label, tree in arms:
                 _wait_idle()
                 with open("/proc/loadavg") as f:
                     load = f.read().split()[0]

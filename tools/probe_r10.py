@@ -86,12 +86,17 @@ def run_batch_soak(sf_dir: str | None) -> int:
                 "overwrite"
             ).save()
             wall = time.perf_counter() - t0
-            # readout discipline (probe_r9): one Python gc so ordinary
-            # uncollected py4j garbage doesn't masquerade as retention,
-            # then a JVM System.gc for the heap figure
-            import gc
-
-            gc.collect()
+            # Readout: JVM System.gc only — deliberately NO Python
+            # gc.collect() here, the opposite of probe_r9's streaming
+            # discipline. There the harness gc separated ordinary
+            # uncollected garbage from structural retention; HERE the
+            # uncollected py4j proxy cycles ARE the thing under test
+            # (a real multi-query session never gc's between queries).
+            # With the kernel-exit release in place the kernel itself
+            # collected before returning, so the ledger stays clean;
+            # with SPARK_GRAFT_DISABLE_KERNEL_GC=1 the superseded
+            # checkpoint block sets pile up across keys and the JVM gc
+            # cannot free them (py4j still pins them).
             spark.sparkContext._jvm.java.lang.System.gc()
             used, cap = _jvm_heap_mb(spark)
             print(
