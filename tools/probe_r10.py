@@ -167,11 +167,59 @@ def purge_scratch() -> None:
     print(f"purged orphaned scratch: {freed / (1 << 30):.1f} GiB", flush=True)
 
 
+_X1000_CHILD = r"""
+import gc, sys, time
+repo, sf_dir = sys.argv[1], sys.argv[2]
+keys = sys.argv[3:]
+sys.path.insert(0, repo)
+from flink_streaming_gnn_spark import registry
+from flink_streaming_gnn_spark.session import get_spark
+spark = get_spark("probe_r10_x1000")
+qs = registry.all_queries()
+for key in keys:
+    t0 = time.perf_counter()
+    try:
+        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        gc.collect()  # probe_r9 readout discipline: retention, not garbage
+        spark.sparkContext._jvm.java.lang.System.gc()
+        rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        used = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+        cap = rt.maxMemory() / (1 << 20)
+        print(f"{key}: {wall:.1f}s  heap {used:.0f}/{cap:.0f} MiB", flush=True)
+    except Exception as exc:
+        print(f"{key}: ERROR {str(exc)[:300]}", flush=True)
+"""
+
+
 def run_x1000_stream(keys: list[str]) -> int:
+    """One child JVM runs ALL keys sequentially (the soak posture): the
+    events re-chunking is per-process since round 10, so per-key child
+    JVMs would each rebuild the ~10⁹-row chunk copy — one process builds
+    it once and the single-JVM sequence is the stricter test anyway."""
+    import subprocess
+    import tempfile
+
     import probe_r9
 
     purge_scratch()
-    return probe_r9.run_x1000_stream(keys)
+    merged = probe_r9.build_x1000_events()
+    print(f"x1000 merged dir: {merged}", flush=True)
+    t0 = time.perf_counter()
+    out = subprocess.run(
+        [sys.executable, "-c", _X1000_CHILD, REPO, merged, *keys],
+        capture_output=True,
+        text=True,
+        cwd=tempfile.gettempdir(),  # foreign cwd, like the driver
+    )
+    print(out.stdout.strip(), flush=True)
+    if out.returncode != 0:
+        print(
+            f"CHILD FAILED (exit {out.returncode},"
+            f" {time.perf_counter() - t0:.1f}s)\n" + out.stderr.strip()[-800:],
+            flush=True,
+        )
+    return out.returncode
 
 
 def main() -> None:
