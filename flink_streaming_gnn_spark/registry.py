@@ -628,7 +628,14 @@ _PRIORITY_KEYS_R9 = (
     "multimodal_wav_decode",
 )
 
-# Active attestation order for round 9.
+# Active attestation order for rounds 9 AND 10 — deliberately NOT
+# rotated for round 10: every key has been officially attested at least
+# once (attestation ledger: never-attested = 0), rotation made the
+# round-9 PERF artifact's prev/now comparison uncomputable (n_common=0,
+# the "49 dropped / 50 newly passing" sampling artifact VERDICT r9 had
+# to explain away), and this window already contains the keys round 10
+# touched most (the re-drained topk/cdc sinks, the per-batch-idempotent
+# spool keys, graph_2hop_agg). A stable window = a comparable artifact.
 _PRIORITY_KEYS = _PRIORITY_KEYS_R9
 
 

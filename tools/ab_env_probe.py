@@ -7,11 +7,13 @@ Usage:
     python tools/ab_env_probe.py VAR=VALUE <key> [key ...] [--rounds N]
 
 Alternates flag-ON / flag-OFF arms (fresh JVM per arm per round,
-idle-gated), each arm running every key against the published ×10 blown
-corpus with a noop sink. Before the first timed arm, one untimed flag-ON
-warmup pays the one-time bucketed-layout write so the ON arms measure
-the steady state (the layout is the ingest-time cost a cluster pays
-once, not a per-query cost).
+idle-gated, ARM ORDER ALTERNATING per round — the round-9 E3 lesson),
+each arm running every key against the published ×10 blown corpus with
+a noop sink. Since round 10 any flag-gated layout is built INSIDE the
+arm's own process (cross-run layouts are banned), so an ON arm's first
+key honestly pays the build; put a second key in the list to see the
+amortized steady state. The untimed warmup only warms the page cache /
+JIT symmetrically.
 
 Verdict discipline: only claim a code-attributed delta when the arms
 separate beyond their own within-arm spread.
@@ -61,10 +63,13 @@ def main() -> None:
     ns = p.parse_args()
     var, _, val = ns.flag.partition("=")
     kv = (var, val or "1")
-    print(f"warmup (untimed, {var}={kv[1]}): building the ON-arm layout", flush=True)
-    _run_arm(kv, ns.keys[:1])
+    print("warmup (untimed, flag OFF): page cache / JIT", flush=True)
+    _run_arm(None, ns.keys[:1])
     for r in range(1, ns.rounds + 1):
-        for label, env_kv in ((f"{var}=1", kv), ("OFF", None)):
+        arms = ((f"{var}={kv[1]}", kv), ("OFF", None))
+        if r % 2 == 0:  # alternate order to cancel first-arm bias
+            arms = arms[::-1]
+        for label, env_kv in arms:
             _wait_idle()
             with open("/proc/loadavg") as f:
                 load = f.read().split()[0]

@@ -222,8 +222,81 @@ def run_x1000_stream(keys: list[str]) -> int:
     return out.returncode
 
 
+_PROFILE_CHILD = r"""
+import sys, threading, time
+repo, sf_dir = sys.argv[1], sys.argv[2]
+keys = sys.argv[3:]
+sys.path.insert(0, repo)
+from flink_streaming_gnn_spark import registry
+from flink_streaming_gnn_spark.session import get_spark
+
+def _cpu_times():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = list(map(int, parts))
+    idle = vals[3] + vals[4]  # idle + iowait
+    return sum(vals), idle
+
+samples = []
+stop = threading.Event()
+def sampler():
+    prev_t, prev_i = _cpu_times()
+    while not stop.wait(1.0):
+        t, i = _cpu_times()
+        dt, di = t - prev_t, i - prev_i
+        if dt > 0:
+            samples.append(1.0 - di / dt)
+        prev_t, prev_i = t, i
+
+spark = get_spark("probe_r10_profile")
+qs = registry.all_queries()
+import os
+ncpu = os.cpu_count()
+for key in keys:
+    qs[key](spark, sf_dir)  # construct once untimed (memos)
+    samples.clear()
+    th = threading.Thread(target=sampler, daemon=True); th.start()
+    t0 = time.perf_counter()
+    qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    stop.set(); th.join(); stop.clear()
+    if samples:
+        mean_busy = sum(samples) / len(samples) * ncpu
+        p90 = sorted(samples)[int(len(samples) * 0.9)] * ncpu
+    else:
+        mean_busy = p90 = float("nan")
+    print(
+        f"{key}: {wall:.1f}s  mean_busy_cores={mean_busy:.1f}/{ncpu}"
+        f"  p90_busy_cores={p90:.1f}",
+        flush=True,
+    )
+"""
+
+
+def run_profile(sf_dir: str, keys: list[str]) -> int:
+    """Wall + whole-box CPU-business profile for expensive keys (VERDICT
+    r9 item 7): a contention-/serial-pinned key shows mean busy cores
+    far below the core count for its whole wall; an algorithmic
+    (compute-bound, parallel) key saturates."""
+    import subprocess
+    import tempfile
+
+    out = subprocess.run(
+        [sys.executable, "-c", _PROFILE_CHILD, REPO, sf_dir, *keys],
+        capture_output=True,
+        text=True,
+        cwd=tempfile.gettempdir(),
+    )
+    print(out.stdout.strip(), flush=True)
+    if out.returncode != 0:
+        print(f"CHILD FAILED (exit {out.returncode})\n" + out.stderr.strip()[-800:], flush=True)
+    return out.returncode
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "--profile":
+        sys.exit(run_profile(args[1], args[2:]))
     if args and args[0] == "--batch-soak":
         sys.exit(run_batch_soak(args[1] if len(args) > 1 else None))
     if args and args[0] == "--x1000-stream":
